@@ -16,13 +16,19 @@ from dataclasses import dataclass, field
 import numpy as np
 
 
+_MAX_HALF = 7
+
+
 @dataclass
 class SyntheticScene:
-    """A box of landmark 'markers' that render as corner-rich squares."""
+    """A box of landmark 'markers' that render as uniquely-textured patches.
+
+    Each marker stamps its own random texture so binary descriptors are
+    discriminative across landmarks (uniform squares would collide)."""
 
     points: np.ndarray       # [M, 3] world positions
-    intensity: np.ndarray    # [M] pixel value of each marker
-    half: np.ndarray         # [M] half-size (px) of the square stamp
+    texture: np.ndarray      # [M, 2*_MAX_HALF+1, 2*_MAX_HALF+1] pixel values
+    half: np.ndarray         # [M] half-size (px) of the stamped patch
     background: float = 128.0
 
 
@@ -41,12 +47,10 @@ def make_scene(
         ],
         axis=1,
     ).astype(np.float32)
-    # alternate dark/bright markers well-separated from the background
-    bright = r.uniform(170, 235, n_points)
-    dark = r.uniform(25, 90, n_points)
-    inten = np.where(r.random(n_points) < 0.5, bright, dark).astype(np.float32)
-    half = r.integers(2, 4, n_points).astype(np.int32)
-    return SyntheticScene(points=pts, intensity=inten, half=half)
+    side = 2 * _MAX_HALF + 1
+    tex = r.uniform(0.0, 255.0, (n_points, side, side)).astype(np.float32)
+    half = r.integers(4, _MAX_HALF + 1, n_points).astype(np.int32)
+    return SyntheticScene(points=pts, texture=tex, half=half)
 
 
 def render(
@@ -87,7 +91,9 @@ def render(
         hf = int(scene.half[i])
         if ui - hf < 0 or ui + hf >= w or vi - hf < 0 or vi + hf >= h:
             continue
-        img[vi - hf:vi + hf + 1, ui - hf:ui + hf + 1] = scene.intensity[i]
+        img[vi - hf:vi + hf + 1, ui - hf:ui + hf + 1] = scene.texture[
+            i, : 2 * hf + 1, : 2 * hf + 1
+        ]
         dep[vi - hf:vi + hf + 1, ui - hf:ui + hf + 1] = Xc[i, 2]
     if noise > 0:
         img = img + r.normal(0, noise, img.shape).astype(np.float32)
@@ -153,7 +159,7 @@ def make_trajectory(kind: str = "forward", n_frames: int = 30, step: float = 0.0
 
 DEFAULT_K = (520.0, 520.0, 320.0, 240.0)
 DEFAULT_HW = (480, 640)
-DEFAULT_BASELINE = 0.12
+DEFAULT_BASELINE = 0.3
 
 
 def render_sequence(scene, poses, K=DEFAULT_K, hw=DEFAULT_HW, stereo=False,
