@@ -1,0 +1,603 @@
+"""Frame-rate tracking: the reference's Tracking state machine
+(src/Tracking.cc:267-506) as host orchestration over jitted kernels.
+
+State flow per frame (stereo / RGB-D path first, like the reference's
+50-line StereoInitialization vs the 370-line monocular path):
+
+  NOT_INITIALIZED --(depth init)--> OK
+  OK: TrackWithMotionModel (fallback TrackReferenceKeyFrame)
+      -> TrackLocalMap -> NeedNewKeyFrame? -> CreateNewKeyFrame
+  LOST: Relocalization (models.relocalization once BoW lands)
+
+All per-frame math runs on device with fixed shapes; the host makes the
+branch decisions from scalar pulls (inlier counts), mirroring the
+reference's control flow without its mutexes.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from orb_slam2_comment_tpu import constants as C
+from orb_slam2_comment_tpu.models import map_state as ms
+from orb_slam2_comment_tpu.models.frame import Frame
+from orb_slam2_comment_tpu.ops import geometry as geo
+from orb_slam2_comment_tpu.ops import matching, optim
+from orb_slam2_comment_tpu.utils.config import MONOCULAR, SlamConfig
+
+# Tracking states (Tracking.h:81-87)
+NO_IMAGES_YET = -1
+NOT_INITIALIZED = 0
+OK = 1
+LOST = 2
+
+LOCAL_POINTS_CAP = 4096
+
+
+def _inv_sigma2(cfg: SlamConfig) -> jnp.ndarray:
+    return jnp.asarray(
+        [1.0 / (cfg.scale_factor ** (2 * l)) for l in range(cfg.n_levels)],
+        jnp.float32,
+    )
+
+
+# ---------------------------------------------------------------------------
+# jitted kernels
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("cfg", "use_frustum_band"))
+def _match_against_points(
+    m: ms.MapState,
+    pt_ids: jax.Array,       # [P] candidate point ids (-1 padded)
+    Tcw: jax.Array,
+    feats,
+    uright: jax.Array,
+    radius: jax.Array,
+    cfg: SlamConfig,
+    use_frustum_band: bool = True,
+):
+    """Project candidate map points into the frame and associate features
+    (SearchByProjection(Frame, vector<MapPoint*>, th),
+    src/ORBmatcher.cc:45-129 + Frame::isInFrustum, src/Frame.cc:269-326).
+
+    Returns (assoc [N] point id or -1, n_matches, visible_mask [P]).
+    """
+    P = pt_ids.shape[0]
+    pid = jnp.clip(pt_ids, 0, m.pt_pos.shape[0] - 1)
+    ok = (pt_ids >= 0) & m.pt_valid[pid]
+    X = m.pt_pos[pid]
+    Xc = geo.transform_points(Tcw, X)
+    uv = geo.project(cfg.K, Xc)
+    h, w = cfg.height, cfg.width
+    in_img = (
+        (Xc[:, 2] > 0.05)
+        & (uv[:, 0] >= 0) & (uv[:, 0] < w)
+        & (uv[:, 1] >= 0) & (uv[:, 1] < h)
+    )
+    # distance-invariance band + viewing angle (isInFrustum)
+    cam_center = -(Tcw[:3, :3].T @ Tcw[:3, 3])
+    vec = X - cam_center
+    dist = jnp.linalg.norm(vec, axis=-1)
+    band = (dist >= 0.8 * m.pt_min_dist[pid]) & (dist <= 1.2 * m.pt_max_dist[pid])
+    if use_frustum_band:
+        view_cos = jnp.sum(vec * m.pt_normal[pid], axis=-1) / jnp.maximum(dist, 1e-9)
+        frustum = band & (view_cos > 0.5)
+    else:
+        frustum = jnp.ones_like(band)
+    visible = ok & in_img & frustum
+    pred_oct = ms.predict_scale(
+        dist, m.pt_max_dist[pid], cfg.scale_factor, cfg.n_levels
+    )
+    res = matching.match_projection(
+        proj_xy=uv,
+        proj_valid=visible,
+        proj_desc=m.pt_desc[pid],
+        proj_octave=pred_oct,
+        feats=feats,
+        radius=radius,
+        scale_factors=jnp.asarray(cfg.orb.scales),
+        max_dist=float(C.TH_HIGH),
+        nn_ratio=0.8,
+    )
+    n = feats.xy.shape[0]
+    assoc = jnp.full((n,), -1, jnp.int32)
+    # last-wins scatter; mutual conflicts are rare and later pose-opt gates them
+    assoc = assoc.at[res.idx].set(jnp.where(res.ok, pt_ids, -1).astype(jnp.int32))
+    # features that already failed validity shouldn't hold associations
+    assoc = jnp.where(feats.valid, assoc, -1)
+    n_matches = jnp.sum(assoc >= 0)
+    return assoc, n_matches, visible
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _pose_opt_from_assoc(
+    m: ms.MapState,
+    Tcw0: jax.Array,
+    feats,
+    uright: jax.Array,
+    assoc: jax.Array,
+    cfg: SlamConfig,
+):
+    """Motion-only BA on current associations (Optimizer::PoseOptimization)."""
+    pid = jnp.clip(assoc, 0, m.pt_pos.shape[0] - 1)
+    valid = (assoc >= 0) & m.pt_valid[pid] & feats.valid
+    Xw = m.pt_pos[pid]
+    obs = jnp.concatenate([feats.xy, uright[:, None]], axis=-1)
+    is_stereo = uright >= 0
+    res = optim.pose_optimize(
+        Tcw0,
+        Xw,
+        obs,
+        feats.octave,
+        is_stereo,
+        valid,
+        _inv_sigma2(cfg),
+        cfg.K,
+        cfg.bf,
+    )
+    assoc_out = jnp.where(res.inliers, assoc, -1)
+    return res.Tcw, assoc_out, res.n_inliers
+
+
+@jax.jit
+def _select_local_map(m: ms.MapState, assoc: jax.Array):
+    """Local keyframes = KFs sharing observations with the current frame,
+    capped at LOCAL_MAP_MAX_KFS (Tracking::UpdateLocalKeyFrames,
+    src/Tracking.cc:1243-1339); local points = union of their observations
+    (UpdateLocalPoints, :1215-1241). Returns (kf_ids, pt_ids) padded -1."""
+    pmax = m.pt_pos.shape[0]
+    kmax = m.kf_pose.shape[0]
+    in_cur = jnp.zeros(pmax, bool).at[jnp.clip(assoc, 0, pmax - 1)].set(assoc >= 0)
+    shared = in_cur[jnp.clip(m.kf_obs, 0, pmax - 1)] & (m.kf_obs >= 0)
+    counts = jnp.where(m.kf_valid, jnp.sum(shared, axis=1), 0)
+    k = min(C.LOCAL_MAP_MAX_KFS, kmax)
+    top_counts, top_kfs = jax.lax.top_k(counts, k)
+    kf_ids = jnp.where(top_counts > 0, top_kfs, -1)
+    # local points: observations of the local KFs
+    sel = jnp.zeros(kmax, bool).at[jnp.clip(kf_ids, 0, kmax - 1)].set(kf_ids >= 0)
+    obs_sel = jnp.where(sel[:, None], m.kf_obs, -1)
+    in_local = jnp.zeros(pmax, bool).at[
+        jnp.clip(obs_sel.reshape(-1), 0, pmax - 1)
+    ].set(obs_sel.reshape(-1) >= 0)
+    in_local = in_local & m.pt_valid
+    vals, ids = jax.lax.top_k(in_local.astype(jnp.int32), LOCAL_POINTS_CAP)
+    pt_ids = jnp.where(vals > 0, ids, -1)
+    return kf_ids, pt_ids
+
+
+@jax.jit
+def _update_point_counters(m: ms.MapState, pt_ids, visible, assoc):
+    """IncreaseVisible for frustum-visible local points, IncreaseFound for
+    inlier-associated points (Tracking::SearchLocalPoints + TrackLocalMap,
+    src/Tracking.cc:930-975,1143-1193)."""
+    pmax = m.pt_pos.shape[0]
+    pid = jnp.clip(pt_ids, 0, pmax - 1)
+    vis_add = jnp.zeros(pmax, jnp.int32).at[pid].add(
+        (visible & (pt_ids >= 0)).astype(jnp.int32)
+    )
+    aid = jnp.clip(assoc, 0, pmax - 1)
+    fnd_add = jnp.zeros(pmax, jnp.int32).at[aid].add((assoc >= 0).astype(jnp.int32))
+    return m._replace(
+        pt_visible=m.pt_visible + vis_add, pt_found=m.pt_found + fnd_add
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "max_new", "create_all_depth"))
+def _create_keyframe_kernel(
+    m: ms.MapState,
+    slot: jax.Array,          # scalar int32 keyframe slot
+    pt_base: jax.Array,       # scalar int32 first free point slot
+    frame_id: jax.Array,
+    timestamp: jax.Array,
+    Tcw: jax.Array,
+    feats,
+    uright: jax.Array,
+    depth: jax.Array,
+    assoc: jax.Array,
+    parent: jax.Array,
+    cfg: SlamConfig,
+    max_new: int = 256,
+    create_all_depth: bool = False,
+):
+    """Insert a keyframe and spawn close stereo/RGBD points.
+
+    Mirrors Tracking::CreateNewKeyFrame (src/Tracking.cc:1063-1141): new
+    points for features with 0 < depth, unassociated, sorted by depth,
+    stopping after MAX_CLOSE_STEREO_POINTS close ones (all of them at
+    initialization, Tracking.cc:509-561 StereoInitialization).
+    Returns (new_map, n_created).
+    """
+    n = feats.xy.shape[0]
+    pmax = m.pt_pos.shape[0]
+
+    cand = feats.valid & (depth > 0) & (assoc < 0)
+    if not create_all_depth:
+        # take closest first; the reference stops once it has added 100
+        # points closer than th_depth (or at least the 100 closest)
+        pass
+    order = jnp.argsort(jnp.where(cand, depth, 1e9))
+    sel_rank = jnp.arange(n)
+    take = cand[order] & (sel_rank < max_new)
+    if not create_all_depth:
+        close = depth[order] <= cfg.depth_threshold
+        rank_ok = (sel_rank < C.MAX_CLOSE_STEREO_POINTS) | close
+        # reference: beyond 100 points, only close ones are added — inverted:
+        # it adds in depth order and stops when >100 AND current is far
+        take = take & rank_ok & (sel_rank < max_new)
+
+    feat_idx = order[:max_new]
+    take = take[:max_new]
+    new_ids = pt_base + jnp.arange(max_new, dtype=jnp.int32)
+    in_cap = new_ids < pmax
+    take = take & in_cap
+    new_ids_c = jnp.clip(new_ids, 0, pmax - 1)
+
+    # unproject selected features
+    z = depth[feat_idx]
+    uv = feats.xy[feat_idx]
+    Xc = geo.backproject(cfg.K, uv, z)
+    Twc = geo.inv_T(Tcw)
+    Xw = geo.transform_points(Twc, Xc)
+    cam_center = Twc[:3, 3]
+    vec = Xw - cam_center
+    dist = jnp.linalg.norm(vec, axis=-1)
+    normal = vec / jnp.maximum(dist[:, None], 1e-9)
+    lvl = feats.octave[feat_idx].astype(jnp.float32)
+    max_dist = dist * (cfg.scale_factor ** lvl) * cfg.scale_factor
+    min_dist = max_dist / (cfg.scale_factor ** cfg.n_levels)
+
+    m = m._replace(
+        pt_pos=m.pt_pos.at[new_ids_c].set(jnp.where(take[:, None], Xw, m.pt_pos[new_ids_c])),
+        pt_valid=m.pt_valid.at[new_ids_c].set(jnp.where(take, True, m.pt_valid[new_ids_c])),
+        pt_desc=m.pt_desc.at[new_ids_c].set(
+            jnp.where(take[:, None], feats.desc[feat_idx], m.pt_desc[new_ids_c])
+        ),
+        pt_normal=m.pt_normal.at[new_ids_c].set(
+            jnp.where(take[:, None], normal, m.pt_normal[new_ids_c])
+        ),
+        pt_min_dist=m.pt_min_dist.at[new_ids_c].set(
+            jnp.where(take, min_dist, m.pt_min_dist[new_ids_c])
+        ),
+        pt_max_dist=m.pt_max_dist.at[new_ids_c].set(
+            jnp.where(take, max_dist, m.pt_max_dist[new_ids_c])
+        ),
+        pt_ref_kf=m.pt_ref_kf.at[new_ids_c].set(
+            jnp.where(take, slot, m.pt_ref_kf[new_ids_c])
+        ),
+        pt_first_kf=m.pt_first_kf.at[new_ids_c].set(
+            jnp.where(take, slot, m.pt_first_kf[new_ids_c])
+        ),
+        pt_visible=m.pt_visible.at[new_ids_c].set(jnp.where(take, 1, m.pt_visible[new_ids_c])),
+        pt_found=m.pt_found.at[new_ids_c].set(jnp.where(take, 1, m.pt_found[new_ids_c])),
+    )
+
+    # keyframe observation table: tracked associations + newly created
+    kf_obs_row = assoc
+    kf_obs_row = kf_obs_row.at[feat_idx].set(
+        jnp.where(take, new_ids_c, kf_obs_row[feat_idx])
+    )
+    m = m._replace(
+        kf_pose=m.kf_pose.at[slot].set(Tcw),
+        kf_valid=m.kf_valid.at[slot].set(True),
+        kf_frame_id=m.kf_frame_id.at[slot].set(frame_id),
+        kf_timestamp=m.kf_timestamp.at[slot].set(timestamp),
+        kf_xy=m.kf_xy.at[slot].set(feats.xy),
+        kf_octave=m.kf_octave.at[slot].set(feats.octave),
+        kf_angle=m.kf_angle.at[slot].set(feats.angle),
+        kf_uright=m.kf_uright.at[slot].set(uright),
+        kf_depth=m.kf_depth.at[slot].set(depth),
+        kf_desc=m.kf_desc.at[slot].set(feats.desc),
+        kf_feat_valid=m.kf_feat_valid.at[slot].set(feats.valid),
+        kf_obs=m.kf_obs.at[slot].set(kf_obs_row),
+        kf_parent=m.kf_parent.at[slot].set(parent),
+    )
+    return m, jnp.sum(take), kf_obs_row
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _match_ref_kf(m: ms.MapState, ref_kf: jax.Array, feats, cfg: SlamConfig):
+    """Associate current features to the reference KF's map points by
+    descriptor matching (TrackReferenceKeyFrame's SearchByBoW,
+    src/Tracking.cc:757-799 / src/ORBmatcher.cc:159). Until the vocabulary
+    stage lands this is a full Hamming match with ratio 0.7 — a superset of
+    the BoW-node-masked candidate set."""
+    kf_desc = m.kf_desc[ref_kf]
+    kf_obs = m.kf_obs[ref_kf]
+    kf_ok = m.kf_feat_valid[ref_kf] & (kf_obs >= 0)
+    dist = matching.hamming_from_packed(kf_desc, feats.desc)
+    mask = kf_ok[:, None] & feats.valid[None, :]
+    res = matching.match_generic(
+        dist, mask, float(C.TH_LOW), nn_ratio=0.7, mutual=True,
+        angles_a=m.kf_angle[ref_kf], angles_b=feats.angle,
+    )
+    n = feats.xy.shape[0]
+    assoc = jnp.full((n,), -1, jnp.int32)
+    assoc = assoc.at[res.idx].set(jnp.where(res.ok, kf_obs, -1))
+    assoc = jnp.where(feats.valid, assoc, -1)
+    return assoc, jnp.sum(assoc >= 0)
+
+
+# ---------------------------------------------------------------------------
+# host-side tracker
+# ---------------------------------------------------------------------------
+
+@dataclass
+class TrackOutput:
+    state: int
+    Tcw: Optional[np.ndarray]
+    n_inliers: int
+    created_kf: bool
+    relative_to_kf: Optional[np.ndarray] = None  # Tcr for trajectory save
+    ref_kf: int = -1
+
+
+class Tracker:
+    """Host orchestrator owning the map and the tracking state machine."""
+
+    def __init__(self, cfg: SlamConfig):
+        self.cfg = cfg
+        self.map = ms.empty_map(cfg.max_keyframes, cfg.max_points, self._n_slots())
+        self.n_kfs = 0
+        self.n_pts = 0
+        self.state = NO_IMAGES_YET
+        self.velocity: Optional[np.ndarray] = None
+        self.last_Tcw: Optional[np.ndarray] = None
+        self.last_frame: Optional[Frame] = None
+        self.ref_kf = -1
+        self.last_kf_frame_id = -1
+        self.frames_since_reloc = 1 << 30
+        self.new_kf_callbacks = []   # local-mapping hook
+        self.n_last_inliers = 0
+
+    def _n_slots(self):
+        budgets = self.cfg.orb.level_budgets()
+        return sum(budgets)
+
+    # -- public API --------------------------------------------------------
+    def track(self, frame: Frame) -> TrackOutput:
+        cfg = self.cfg
+        if self.state in (NO_IMAGES_YET, NOT_INITIALIZED):
+            if cfg.sensor == MONOCULAR:
+                raise RuntimeError(
+                    "monocular init handled by models.initializer via System"
+                )
+            ok = self._stereo_initialization(frame)
+            self.state = OK if ok else NOT_INITIALIZED
+            return TrackOutput(
+                state=self.state,
+                Tcw=np.asarray(frame.Tcw) if ok else None,
+                n_inliers=0,
+                created_kf=ok,
+                ref_kf=self.ref_kf,
+            )
+
+        created_kf = False
+        n_inliers = 0
+        tracked = False
+        if self.state == OK:
+            tracked, n_inliers = self._track_frame(frame)
+        if self.state == LOST or not tracked:
+            # relocalization hooks in via System once the BoW database
+            # lands; until then a lost track stays lost (reference behavior
+            # without reloc candidates, Tracking.cc:436-448)
+            self.state = LOST
+            return TrackOutput(LOST, None, 0, False, ref_kf=self.ref_kf)
+
+        self.state = OK
+        # motion model update (Tracking.cc:423-434)
+        if self.last_Tcw is not None:
+            self.velocity = np.asarray(frame.Tcw) @ np.linalg.inv(self.last_Tcw)
+        self.last_Tcw = np.asarray(frame.Tcw)
+        self.last_frame = frame
+        self.n_last_inliers = n_inliers
+
+        if self._need_new_keyframe(frame, n_inliers):
+            self._create_keyframe(frame)
+            created_kf = True
+
+        Tcr = np.asarray(frame.Tcw) @ np.linalg.inv(
+            np.asarray(self.map.kf_pose[self.ref_kf])
+        )
+        return TrackOutput(
+            state=self.state,
+            Tcw=np.asarray(frame.Tcw),
+            n_inliers=n_inliers,
+            created_kf=created_kf,
+            relative_to_kf=Tcr,
+            ref_kf=self.ref_kf,
+        )
+
+    # -- stages -------------------------------------------------------------
+    def _stereo_initialization(self, frame: Frame) -> bool:
+        """Tracking::StereoInitialization (src/Tracking.cc:509-561):
+        requires >=500 features; pose = identity; every positive-depth
+        feature becomes a map point."""
+        n_valid = int(jnp.sum(frame.feats.valid))
+        if n_valid < 500:
+            return False
+        frame.Tcw = jnp.eye(4)
+        assoc = jnp.full((frame.n_feat,), -1, jnp.int32)
+        self.map, n_created, kf_obs_row = _create_keyframe_kernel(
+            self.map,
+            jnp.asarray(0, jnp.int32),
+            jnp.asarray(0, jnp.int32),
+            jnp.asarray(frame.frame_id, jnp.int32),
+            jnp.asarray(frame.timestamp, jnp.float32),
+            frame.Tcw,
+            frame.feats,
+            frame.uright,
+            frame.depth,
+            assoc,
+            jnp.asarray(-1, jnp.int32),
+            self.cfg,
+            max_new=self._n_slots(),
+            create_all_depth=True,
+        )
+        self.n_kfs = 1
+        self.n_pts = int(n_created)
+        frame.assoc = kf_obs_row
+        self.ref_kf = 0
+        self.last_kf_frame_id = frame.frame_id
+        self.last_Tcw = np.eye(4, dtype=np.float32)
+        self.last_frame = frame
+        for cb in self.new_kf_callbacks:
+            cb(0)
+        return self.n_pts > 0
+
+    def _track_frame(self, frame: Frame):
+        cfg = self.cfg
+        ok = False
+        if self.velocity is not None:
+            ok = self._track_with_motion_model(frame)
+        if not ok:
+            ok = self._track_reference_kf(frame)
+        if not ok:
+            return False, 0
+        n_inliers = self._track_local_map(frame)
+        min_inl = C.TRACK_LOCAL_MAP_MIN_INLIERS
+        if self.frames_since_reloc < cfg.fps:
+            min_inl = C.TRACK_LOCAL_MAP_MIN_INLIERS_RECENT_RELOC
+        self.frames_since_reloc += 1
+        return n_inliers >= min_inl, n_inliers
+
+    def _track_with_motion_model(self, frame: Frame) -> bool:
+        """Tracking::TrackWithMotionModel (src/Tracking.cc:867-928)."""
+        cfg = self.cfg
+        T_pred = jnp.asarray(self.velocity @ self.last_Tcw)
+        last_assoc = self.last_frame.assoc
+        # candidate points = the previous frame's tracked points
+        th = 7.0 if cfg.sensor != MONOCULAR else 15.0
+        assoc, n_matches, _ = _match_against_points(
+            self.map, last_assoc, T_pred, frame.feats, frame.uright,
+            jnp.asarray(th), cfg, use_frustum_band=False,
+        )
+        if int(n_matches) < C.TRACK_MOTION_MIN_MATCHES:
+            # widened retry (src/Tracking.cc:888-892: 2*th)
+            assoc, n_matches, _ = _match_against_points(
+                self.map, last_assoc, T_pred, frame.feats, frame.uright,
+                jnp.asarray(2 * th), cfg, use_frustum_band=False,
+            )
+            if int(n_matches) < C.TRACK_MOTION_MIN_MATCHES:
+                return False
+        Tcw, assoc, n_inl = _pose_opt_from_assoc(
+            self.map, T_pred, frame.feats, frame.uright, assoc, cfg
+        )
+        frame.Tcw = Tcw
+        frame.assoc = assoc
+        return int(n_inl) >= 10
+
+    def _track_reference_kf(self, frame: Frame) -> bool:
+        """Tracking::TrackReferenceKeyFrame (src/Tracking.cc:757-799)."""
+        if self.ref_kf < 0:
+            return False
+        assoc, n_matches = _match_ref_kf(
+            self.map, jnp.asarray(self.ref_kf), frame.feats, self.cfg
+        )
+        if int(n_matches) < C.TRACK_REF_KF_MIN_MATCHES:
+            return False
+        T0 = jnp.asarray(self.last_Tcw)
+        Tcw, assoc, n_inl = _pose_opt_from_assoc(
+            self.map, T0, frame.feats, frame.uright, assoc, self.cfg
+        )
+        frame.Tcw = Tcw
+        frame.assoc = assoc
+        return int(n_inl) >= 10
+
+    def _track_local_map(self, frame: Frame) -> int:
+        """Tracking::TrackLocalMap (src/Tracking.cc:930-975): expand to the
+        covisibility neighborhood, re-search, re-optimize."""
+        cfg = self.cfg
+        kf_ids, pt_ids = _select_local_map(self.map, frame.assoc)
+        th = 3.0 if cfg.sensor == "rgbd" else 1.0  # Tracking.cc:1160-1170
+        assoc2, n2, visible = _match_against_points(
+            self.map, pt_ids, frame.Tcw, frame.feats, frame.uright,
+            jnp.asarray(th), cfg,
+        )
+        # keep existing associations where the local search found none
+        assoc = jnp.where(frame.assoc >= 0, frame.assoc, assoc2)
+        Tcw, assoc, n_inl = _pose_opt_from_assoc(
+            self.map, frame.Tcw, frame.feats, frame.uright, assoc, cfg
+        )
+        frame.Tcw = Tcw
+        frame.assoc = assoc
+        self.map = _update_point_counters(self.map, pt_ids, visible, assoc)
+        # update reference KF = most-shared local KF (Tracking.cc:1330-1337)
+        best = int(kf_ids[0])
+        if best >= 0:
+            self.ref_kf = best
+        return int(n_inl)
+
+    def _need_new_keyframe(self, frame: Frame, n_inliers: int) -> bool:
+        """Tracking::NeedNewKeyFrame (src/Tracking.cc:977-1061), conditions
+        c1a/c1b/c1c/c2 with the stereo close-point heuristics."""
+        cfg = self.cfg
+        if cfg.localization_only:
+            return False
+        if self.n_kfs >= cfg.max_keyframes - 1:
+            return False
+        frames_since_kf = frame.frame_id - self.last_kf_frame_id
+        # reference map points tracked with >=minObs observations
+        min_obs = 2 if self.n_kfs <= 2 else 3
+        obs_counts = ms.point_observation_counts(self.map)
+        ref_obs = self.map.kf_obs[self.ref_kf]
+        ref_ok = (ref_obs >= 0) & self.map.pt_valid[
+            jnp.clip(ref_obs, 0, cfg.max_points - 1)
+        ]
+        n_ref_matches = int(
+            jnp.sum(
+                ref_ok
+                & (obs_counts[jnp.clip(ref_obs, 0, cfg.max_points - 1)] >= min_obs)
+            )
+        )
+        # close-point bookkeeping (stereo/rgbd, Tracking.cc:1005-1022)
+        need_close = False
+        if cfg.sensor != MONOCULAR:
+            depth = np.asarray(frame.depth)
+            assoc = np.asarray(frame.assoc)
+            close = (depth > 0) & (depth < cfg.depth_threshold)
+            tracked_close = int(((assoc >= 0) & close).sum())
+            nontracked_close = int(((assoc < 0) & close).sum())
+            need_close = tracked_close < 100 and nontracked_close > 70
+        th_ref = 0.9 if cfg.sensor == MONOCULAR else 0.75
+        if self.n_kfs < 2:
+            th_ref = 0.4
+        c1a = frames_since_kf >= cfg.fps
+        c1b = frames_since_kf >= 1  # min frames (mapping is synchronous here)
+        c1c = cfg.sensor != MONOCULAR and (
+            n_inliers < n_ref_matches * 0.25 or need_close
+        )
+        c2 = (
+            n_inliers < n_ref_matches * th_ref or need_close
+        ) and n_inliers > 15
+        return bool((c1a or c1b or c1c) and c2)
+
+    def _create_keyframe(self, frame: Frame):
+        """Tracking::CreateNewKeyFrame (src/Tracking.cc:1063-1141)."""
+        slot = self.n_kfs
+        self.map, n_created, kf_obs_row = _create_keyframe_kernel(
+            self.map,
+            jnp.asarray(slot, jnp.int32),
+            jnp.asarray(self.n_pts, jnp.int32),
+            jnp.asarray(frame.frame_id, jnp.int32),
+            jnp.asarray(frame.timestamp, jnp.float32),
+            frame.Tcw,
+            frame.feats,
+            frame.uright,
+            frame.depth,
+            frame.assoc,
+            jnp.asarray(self.ref_kf, jnp.int32),
+            self.cfg,
+        )
+        self.n_kfs += 1
+        self.n_pts += int(n_created)
+        frame.assoc = kf_obs_row
+        self.ref_kf = slot
+        self.last_kf_frame_id = frame.frame_id
+        for cb in self.new_kf_callbacks:
+            cb(slot)

@@ -1,0 +1,133 @@
+"""System configuration — the reference's YAML settings surface.
+
+Covers every key the reference parses (Tracking.cc:46-148 and
+Examples/*/ *.yaml: Camera.{fx,fy,cx,cy,k1,k2,p1,p2,k3,bf,fps,RGB},
+ThDepth, DepthMapFactor, ORBextractor.*, Viewer.*), plus the fixed
+capacities that make the TPU map state static-shape.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+from orb_slam2_comment_tpu import constants as C
+from orb_slam2_comment_tpu.ops.orb import ORBConfig
+
+MONOCULAR = "monocular"
+STEREO = "stereo"
+RGBD = "rgbd"
+
+
+@dataclass(frozen=True)
+class SlamConfig:
+    sensor: str = RGBD
+    # Camera intrinsics / model
+    fx: float = 520.0
+    fy: float = 520.0
+    cx: float = 320.0
+    cy: float = 240.0
+    k1: float = 0.0
+    k2: float = 0.0
+    p1: float = 0.0
+    p2: float = 0.0
+    k3: float = 0.0
+    bf: float = 156.0          # baseline(m) * fx  (Camera.bf)
+    fps: float = 20.0
+    rgb: bool = True           # Camera.RGB channel order
+    width: int = 640
+    height: int = 480
+    th_depth: float = 35.0     # close/far split: depth < bf*ThDepth/fx (Tracking.cc:126)
+    depth_map_factor: float = 1.0  # TUM RGB-D: 5000
+    # ORB extraction
+    n_features: int = C.DEFAULT_N_FEATURES
+    scale_factor: float = C.DEFAULT_SCALE_FACTOR
+    n_levels: int = C.DEFAULT_N_LEVELS
+    ini_th_fast: float = float(C.DEFAULT_INI_TH_FAST)
+    min_th_fast: float = float(C.DEFAULT_MIN_TH_FAST)
+    # Static map capacities (TPU fixed shapes)
+    max_keyframes: int = 256
+    max_points: int = 32768
+    # Pipeline toggles
+    enable_local_ba: bool = True
+    enable_loop_closing: bool = True
+    localization_only: bool = False
+
+    @property
+    def K(self):
+        return (self.fx, self.fy, self.cx, self.cy)
+
+    @property
+    def baseline(self):
+        return self.bf / self.fx
+
+    @property
+    def depth_threshold(self):
+        """Meters below which a stereo/RGBD point counts as 'close'
+        (mThDepth = mbf * ThDepth / fx, Tracking.cc:126-131)."""
+        return self.bf * self.th_depth / self.fx
+
+    @property
+    def orb(self) -> ORBConfig:
+        return ORBConfig(
+            n_features=self.n_features,
+            n_levels=self.n_levels,
+            scale_factor=self.scale_factor,
+            ini_th=self.ini_th_fast,
+            min_th=self.min_th_fast,
+        )
+
+    @property
+    def has_distortion(self):
+        return any(abs(v) > 1e-12 for v in (self.k1, self.k2, self.p1, self.p2, self.k3))
+
+
+def load_yaml_settings(path: str, sensor: str) -> SlamConfig:
+    """Parse an ORB-SLAM2-style YAML settings file (same keys as the
+    reference's cv::FileStorage usage, e.g. Examples/RGB-D/TUM1.yaml).
+
+    Supports the OpenCV '%YAML:1.0' header and flat 'Key.sub: value' lines
+    without requiring a yaml library.
+    """
+    vals = {}
+    with open(path) as f:
+        for line in f:
+            line = line.split("#", 1)[0].strip()
+            if not line or line.startswith("%") or ":" not in line:
+                continue
+            key, _, val = line.partition(":")
+            key, val = key.strip(), val.strip()
+            if not val:
+                continue
+            try:
+                vals[key] = float(val)
+            except ValueError:
+                vals[key] = val
+
+    def g(key, default):
+        return vals.get(key, default)
+
+    return SlamConfig(
+        sensor=sensor,
+        fx=g("Camera.fx", 520.0),
+        fy=g("Camera.fy", 520.0),
+        cx=g("Camera.cx", 320.0),
+        cy=g("Camera.cy", 240.0),
+        k1=g("Camera.k1", 0.0),
+        k2=g("Camera.k2", 0.0),
+        p1=g("Camera.p1", 0.0),
+        p2=g("Camera.p2", 0.0),
+        k3=g("Camera.k3", 0.0),
+        bf=g("Camera.bf", 0.0),
+        fps=g("Camera.fps", 30.0),
+        rgb=bool(int(g("Camera.RGB", 1))),
+        width=int(g("Camera.width", 640)),
+        height=int(g("Camera.height", 480)),
+        th_depth=g("ThDepth", 35.0),
+        depth_map_factor=g("DepthMapFactor", 1.0),
+        n_features=int(g("ORBextractor.nFeatures", 1000)),
+        scale_factor=g("ORBextractor.scaleFactor", 1.2),
+        n_levels=int(g("ORBextractor.nLevels", 8)),
+        ini_th_fast=g("ORBextractor.iniThFAST", 20.0),
+        min_th_fast=g("ORBextractor.minThFAST", 7.0),
+    )

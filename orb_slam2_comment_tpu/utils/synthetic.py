@@ -48,7 +48,17 @@ def make_scene(
         axis=1,
     ).astype(np.float32)
     side = 2 * _MAX_HALF + 1
-    tex = r.uniform(0.0, 255.0, (n_points, side, side)).astype(np.float32)
+    # low-frequency unique textures: 5x5 random control grids bilinearly
+    # upsampled, so descriptors stay stable under the ~1px parallax shifts
+    # of stereo/multi-view rendering (per-pixel white noise decorrelates)
+    low = r.uniform(0.0, 255.0, (n_points, 5, 5)).astype(np.float32)
+    xs = np.linspace(0, 4, side)
+    i0 = np.clip(xs.astype(int), 0, 3)
+    w = (xs - i0).astype(np.float32)
+    W = np.zeros((side, 5), np.float32)
+    W[np.arange(side), i0] = 1 - w
+    W[np.arange(side), i0 + 1] += w
+    tex = np.einsum("ia,mab,jb->mij", W, low, W)
     half = r.integers(4, _MAX_HALF + 1, n_points).astype(np.int32)
     return SyntheticScene(points=pts, texture=tex, half=half)
 
