@@ -1,0 +1,521 @@
+"""Local mapping stage: the reference's LocalMapping thread
+(src/LocalMapping.cc:47-112 Run loop) as a synchronous per-keyframe pass.
+
+Per new keyframe:
+  1. refresh point statistics (ProcessNewKeyFrame's descriptor/normal
+     updates, LocalMapping.cc:128-168)
+  2. MapPointCulling (LocalMapping.cc:170-205)
+  3. CreateNewMapPoints — epipolar triangulation against covisible
+     neighbors (LocalMapping.cc:207-451)
+  4. SearchInNeighbors — two-way projective fusion (LocalMapping.cc:454-533)
+  5. Local BA over the covisibility window (Optimizer::LocalBundleAdjustment)
+
+The reference's thread interplay (abortable BA, backpressure) is replaced
+by a synchronous call whose cost is bounded by the fixed window capacities;
+chunked/abortable optimization arrives with the async scheduler.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from orb_slam2_comment_tpu import constants as C
+from orb_slam2_comment_tpu.models import map_state as ms
+from orb_slam2_comment_tpu.ops import geometry as geo
+from orb_slam2_comment_tpu.ops import matching, optim
+from orb_slam2_comment_tpu.ops.orb import FrameFeatures
+from orb_slam2_comment_tpu.utils.config import MONOCULAR, SlamConfig
+
+# BA window capacities (static shapes)
+NC_FREE = 16
+NC_FIXED = 16
+NP_BA = 4096
+TRI_MAX_NEW = 128
+N_TRI_NEIGHBORS = 5
+N_FUSE_NEIGHBORS = 5
+
+
+def _inv_sigma2(cfg: SlamConfig) -> jnp.ndarray:
+    return jnp.asarray(
+        [1.0 / (cfg.scale_factor ** (2 * l)) for l in range(cfg.n_levels)],
+        jnp.float32,
+    )
+
+
+def _kf_feats(m: ms.MapState, k) -> FrameFeatures:
+    return FrameFeatures(
+        xy=m.kf_xy[k],
+        response=jnp.zeros_like(m.kf_angle[k]),
+        angle=m.kf_angle[k],
+        octave=m.kf_octave[k],
+        desc=m.kf_desc[k],
+        valid=m.kf_feat_valid[k],
+    )
+
+
+# ---------------------------------------------------------------------------
+# 1. point statistics refresh (distinctive descriptors)
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def update_point_descriptors(m: ms.MapState) -> ms.MapState:
+    """Representative descriptor per point: the observation descriptor
+    closest to the bitwise majority of all observations.
+
+    Same intent as MapPoint::ComputeDistinctiveDescriptors
+    (src/MapPoint.cc:242-307, min-median Hamming); the majority-vote
+    argmin is its batched analogue (both pick a central element).
+    """
+    Kmax, N = m.kf_obs.shape
+    pmax = m.pt_pos.shape[0]
+
+    def unpack(desc):  # [N, 8] u32 -> [N, 256] int32 bits
+        shifts = jnp.arange(32, dtype=jnp.uint32)
+        bits = (desc[..., None] >> shifts) & jnp.uint32(1)
+        return bits.reshape(desc.shape[:-1] + (256,)).astype(jnp.int32)
+
+    def vote_scan(carry, k):
+        votes, counts = carry
+        pid = jnp.clip(m.kf_obs[k], 0, pmax - 1)
+        ok = (m.kf_obs[k] >= 0) & m.kf_valid[k] & m.kf_feat_valid[k]
+        bits = unpack(m.kf_desc[k])
+        votes = votes.at[pid].add(jnp.where(ok[:, None], bits, 0))
+        counts = counts.at[pid].add(ok.astype(jnp.int32))
+        return (votes, counts), None
+
+    votes0 = jnp.zeros((pmax, 256), jnp.int32)
+    counts0 = jnp.zeros(pmax, jnp.int32)
+    (votes, counts), _ = jax.lax.scan(
+        vote_scan, (votes0, counts0), jnp.arange(Kmax)
+    )
+    majority = (2 * votes > counts[:, None]).astype(jnp.int32)  # [Pmax, 256]
+
+    def best_scan(carry, k):
+        best_d, best_desc = carry
+        pid = jnp.clip(m.kf_obs[k], 0, pmax - 1)
+        ok = (m.kf_obs[k] >= 0) & m.kf_valid[k] & m.kf_feat_valid[k]
+        bits = unpack(m.kf_desc[k])
+        d = jnp.sum(jnp.abs(bits - majority[pid]), axis=-1)  # [N]
+        d = jnp.where(ok, d, 1 << 20)
+        better = d < best_d[pid]
+        best_d = best_d.at[pid].min(d)
+        # scatter descriptor where strictly better (last-wins among ties ok)
+        upd = jnp.where((better & ok)[:, None], m.kf_desc[k], best_desc[pid])
+        best_desc = best_desc.at[pid].set(upd)
+        return (best_d, best_desc), None
+
+    (best_d, best_desc), _ = jax.lax.scan(
+        best_scan,
+        (jnp.full(pmax, 1 << 21, jnp.int32), m.pt_desc),
+        jnp.arange(Kmax),
+    )
+    has = counts > 0
+    return m._replace(
+        pt_desc=jnp.where(has[:, None] & m.pt_valid[:, None], best_desc, m.pt_desc)
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. map point culling
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def cull_points(m: ms.MapState, current_kf: jax.Array) -> ms.MapState:
+    """MapPointCulling (src/LocalMapping.cc:170-205): recent points die if
+    found/visible < 0.25, or if after 2 KFs they have <=2 (stereo-weighted
+    <=3) observations; after 3 KFs they graduate."""
+    obs = ms.point_observation_counts(m)
+    age = current_kf - m.pt_first_kf  # in keyframes
+    found_ratio = m.pt_found.astype(jnp.float32) / jnp.maximum(
+        m.pt_visible.astype(jnp.float32), 1.0
+    )
+    recent = (m.pt_first_kf >= 0) & (age <= 3)
+    bad = recent & (
+        (found_ratio < C.MIN_FOUND_RATIO)
+        | ((age >= 2) & (obs < C.MIN_OBS_FOR_POINT))
+    )
+    new_valid = m.pt_valid & ~bad
+    # drop observations of culled points
+    pmax = m.pt_pos.shape[0]
+    obs_ok = (m.kf_obs >= 0) & new_valid[jnp.clip(m.kf_obs, 0, pmax - 1)]
+    return m._replace(
+        pt_valid=new_valid,
+        kf_obs=jnp.where(obs_ok, m.kf_obs, -1),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3. triangulation of new points
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("cfg", "max_new"))
+def triangulate_with_neighbor(
+    m: ms.MapState,
+    kf1: jax.Array,
+    kf2: jax.Array,
+    pt_base: jax.Array,
+    cfg: SlamConfig,
+    max_new: int = TRI_MAX_NEW,
+):
+    """CreateNewMapPoints vs one neighbor (src/LocalMapping.cc:207-451):
+    epipolar-constrained matching of unmatched features, linear
+    triangulation, cheirality + reprojection chi2 + scale-consistency
+    gates, then insertion. Returns (map, n_created)."""
+    T1 = m.kf_pose[kf1]
+    T2 = m.kf_pose[kf2]
+    f1 = _kf_feats(m, kf1)
+    f2 = _kf_feats(m, kf2)
+    sigma2 = jnp.asarray([cfg.scale_factor ** (2 * l) for l in range(cfg.n_levels)])
+    F12 = geo.fundamental_from_poses(cfg.K, T1, cfg.K, T2)
+
+    # baseline check (src/LocalMapping.cc:245-264): skip if baseline too
+    # short relative to scene depth — approximated by absolute baseline
+    c1 = -T1[:3, :3].T @ T1[:3, 3]
+    c2 = -T2[:3, :3].T @ T2[:3, 3]
+    baseline = jnp.linalg.norm(c1 - c2)
+    enough_baseline = baseline > (0.08 if cfg.sensor != MONOCULAR else 0.02)
+
+    un1 = m.kf_obs[kf1] < 0
+    un2 = m.kf_obs[kf2] < 0
+    res = matching.match_epipolar(
+        f1, f2, F12, sigma2, un1, un2, check_rotation=False
+    )
+    idx2 = res.idx
+    ok = res.ok & enough_baseline
+
+    fx, fy, cx, cy = cfg.K
+    Km = jnp.asarray([[fx, 0, cx], [0, fy, cy], [0, 0, 1]])
+    P1 = Km @ T1[:3]
+    P2 = Km @ T2[:3]
+    uv1 = f1.xy
+    uv2 = f2.xy[idx2]
+    Xw = geo.triangulate_linear(P1, P2, uv1, uv2)
+
+    # cheirality
+    Xc1 = geo.transform_points(T1, Xw)
+    Xc2 = geo.transform_points(T2, Xw)
+    ok = ok & (Xc1[:, 2] > 0) & (Xc2[:, 2] > 0)
+    # parallax (rays from both centers, cos < 0.9998)
+    r1 = Xw - c1
+    r2 = Xw - c2
+    cos_par = jnp.sum(r1 * r2, -1) / jnp.maximum(
+        jnp.linalg.norm(r1, axis=-1) * jnp.linalg.norm(r2, axis=-1), 1e-9
+    )
+    ok = ok & (cos_par < 0.9998) & (cos_par > 0)
+    # reprojection chi2 in both views (5.991 * sigma2)
+    e1 = uv1 - geo.project(cfg.K, Xc1)
+    e2 = uv2 - geo.project(cfg.K, Xc2)
+    s1 = sigma2[jnp.clip(f1.octave, 0, cfg.n_levels - 1)]
+    s2 = sigma2[jnp.clip(f2.octave[idx2], 0, cfg.n_levels - 1)]
+    ok = ok & (jnp.sum(e1 * e1, -1) < 5.991 * s1) & (jnp.sum(e2 * e2, -1) < 5.991 * s2)
+    # scale consistency (src/LocalMapping.cc:414-426)
+    d1 = jnp.linalg.norm(r1, axis=-1)
+    d2 = jnp.linalg.norm(r2, axis=-1)
+    ratio_dist = d2 / jnp.maximum(d1, 1e-9)
+    ratio_octave = (
+        cfg.scale_factor ** (f1.octave - f2.octave[idx2]).astype(jnp.float32)
+    )
+    rf = 1.5 * cfg.scale_factor
+    ok = ok & (ratio_dist * rf > ratio_octave) & (ratio_dist < ratio_octave * rf)
+
+    # compact the winners into point slots
+    n = uv1.shape[0]
+    order = jnp.argsort(~ok)  # winners first (stable)
+    take = ok[order][:max_new]
+    feat1 = order[:max_new]
+    feat2 = idx2[order][:max_new]
+    pmax = m.pt_pos.shape[0]
+    new_ids = pt_base + jnp.arange(max_new, dtype=jnp.int32)
+    take = take & (new_ids < pmax)
+    nid = jnp.clip(new_ids, 0, pmax - 1)
+
+    Xn = Xw[feat1]
+    vec = Xn - c1
+    dist = jnp.linalg.norm(vec, axis=-1)
+    normal = vec / jnp.maximum(dist[:, None], 1e-9)
+    lvl = f1.octave[feat1].astype(jnp.float32)
+    max_dist = dist * (cfg.scale_factor ** lvl) * cfg.scale_factor
+    min_dist = max_dist / (cfg.scale_factor ** cfg.n_levels)
+
+    def put(arr, vals):
+        return arr.at[nid].set(jnp.where(take.reshape(take.shape + (1,) * (vals.ndim - 1)), vals, arr[nid]))
+
+    m = m._replace(
+        pt_pos=put(m.pt_pos, Xn),
+        pt_valid=m.pt_valid.at[nid].set(jnp.where(take, True, m.pt_valid[nid])),
+        pt_desc=put(m.pt_desc, f1.desc[feat1]),
+        pt_normal=put(m.pt_normal, normal),
+        pt_min_dist=m.pt_min_dist.at[nid].set(jnp.where(take, min_dist, m.pt_min_dist[nid])),
+        pt_max_dist=m.pt_max_dist.at[nid].set(jnp.where(take, max_dist, m.pt_max_dist[nid])),
+        pt_ref_kf=m.pt_ref_kf.at[nid].set(jnp.where(take, kf1, m.pt_ref_kf[nid])),
+        pt_first_kf=m.pt_first_kf.at[nid].set(jnp.where(take, kf1, m.pt_first_kf[nid])),
+        pt_visible=m.pt_visible.at[nid].set(jnp.where(take, 1, m.pt_visible[nid])),
+        pt_found=m.pt_found.at[nid].set(jnp.where(take, 1, m.pt_found[nid])),
+    )
+    # register observations in both keyframes
+    obs1 = m.kf_obs[kf1].at[feat1].set(jnp.where(take, nid, m.kf_obs[kf1][feat1]))
+    m = m._replace(kf_obs=m.kf_obs.at[kf1].set(obs1))
+    obs2 = m.kf_obs[kf2].at[feat2].set(jnp.where(take, nid, m.kf_obs[kf2][feat2]))
+    m = m._replace(kf_obs=m.kf_obs.at[kf2].set(obs2))
+    return m, jnp.sum(take)
+
+
+# ---------------------------------------------------------------------------
+# 4. fusion with neighbors
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def fuse_into_keyframe(
+    m: ms.MapState,
+    src_kf: jax.Array,
+    dst_kf: jax.Array,
+    cfg: SlamConfig,
+):
+    """Project src_kf's points into dst_kf; matched features either gain
+    the observation or trigger a duplicate merge keeping the
+    most-observed point (ORBmatcher::Fuse, src/ORBmatcher.cc:825-975;
+    driven by SearchInNeighbors, src/LocalMapping.cc:454-533)."""
+    pmax = m.pt_pos.shape[0]
+    pt_ids = m.kf_obs[src_kf]
+    pid = jnp.clip(pt_ids, 0, pmax - 1)
+    okp = (pt_ids >= 0) & m.pt_valid[pid]
+    X = m.pt_pos[pid]
+    Tcw = m.kf_pose[dst_kf]
+    Xc = geo.transform_points(Tcw, X)
+    uv = geo.project(cfg.K, Xc)
+    in_img = (
+        (Xc[:, 2] > 0.05)
+        & (uv[:, 0] >= 0) & (uv[:, 0] < cfg.width)
+        & (uv[:, 1] >= 0) & (uv[:, 1] < cfg.height)
+    )
+    cam_center = -Tcw[:3, :3].T @ Tcw[:3, 3]
+    vec = X - cam_center
+    dist = jnp.linalg.norm(vec, axis=-1)
+    band = (dist >= 0.8 * m.pt_min_dist[pid]) & (dist <= 1.2 * m.pt_max_dist[pid])
+    visible = okp & in_img & band
+    pred_oct = ms.predict_scale(dist, m.pt_max_dist[pid], cfg.scale_factor, cfg.n_levels)
+    feats = _kf_feats(m, dst_kf)
+    res = matching.match_projection(
+        proj_xy=uv,
+        proj_valid=visible,
+        proj_desc=m.pt_desc[pid],
+        proj_octave=pred_oct,
+        feats=feats,
+        radius=3.0,
+        scale_factors=jnp.asarray(cfg.orb.scales),
+        max_dist=float(C.TH_LOW),
+    )
+    obs_counts = ms.point_observation_counts(m)
+    dst_obs = m.kf_obs[dst_kf]
+    tgt_feat = res.idx                       # feature in dst per src point
+    existing = dst_obs[tgt_feat]             # point currently on that feature
+    src_pt = pt_ids
+    has_existing = (existing >= 0) & m.pt_valid[jnp.clip(existing, 0, pmax - 1)]
+    do = res.ok & okp & (src_pt != existing)
+
+    # case A: feature free -> add observation
+    addA = do & ~has_existing
+    new_row = dst_obs.at[tgt_feat].set(
+        jnp.where(addA, src_pt, dst_obs[tgt_feat])
+    )
+    m = m._replace(kf_obs=m.kf_obs.at[dst_kf].set(new_row))
+
+    # case B: duplicate -> merge into the more-observed point
+    dup = do & has_existing
+    exist_c = jnp.clip(existing, 0, pmax - 1)
+    keep_existing = obs_counts[exist_c] >= obs_counts[pid]
+    winner = jnp.where(keep_existing, existing, src_pt)
+    loser = jnp.where(keep_existing, src_pt, existing)
+    rep = jnp.arange(pmax, dtype=jnp.int32)
+    rep = rep.at[jnp.clip(loser, 0, pmax - 1)].set(
+        jnp.where(dup, winner, rep[jnp.clip(loser, 0, pmax - 1)])
+    )
+    # apply replacement across all observation tables; kill losers
+    kf_obs = jnp.where(m.kf_obs >= 0, rep[jnp.clip(m.kf_obs, 0, pmax - 1)], -1)
+    pt_valid = m.pt_valid.at[jnp.clip(loser, 0, pmax - 1)].set(
+        jnp.where(dup, False, m.pt_valid[jnp.clip(loser, 0, pmax - 1)])
+    )
+    # transfer found/visible counters (MapPoint::Replace, src/MapPoint.cc:177-222)
+    win_c = jnp.clip(winner, 0, pmax - 1)
+    vis_add = jnp.zeros(pmax, jnp.int32).at[win_c].add(
+        jnp.where(dup, m.pt_visible[jnp.clip(loser, 0, pmax - 1)], 0)
+    )
+    fnd_add = jnp.zeros(pmax, jnp.int32).at[win_c].add(
+        jnp.where(dup, m.pt_found[jnp.clip(loser, 0, pmax - 1)], 0)
+    )
+    return m._replace(
+        kf_obs=kf_obs,
+        pt_valid=pt_valid,
+        pt_visible=m.pt_visible + vis_add,
+        pt_found=m.pt_found + fnd_add,
+    ), jnp.sum(dup)
+
+
+# ---------------------------------------------------------------------------
+# 5. local BA window construction
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def build_ba_window(m: ms.MapState, kf_id: jax.Array, cfg: SlamConfig):
+    """Local window = current KF + covisible KFs (free), their points, and
+    the other observers of those points as fixed cameras
+    (src/Optimizer.cc:456-546). Fixed-capacity selection."""
+    kmax = m.kf_pose.shape[0]
+    pmax = m.pt_pos.shape[0]
+    N = m.kf_obs.shape[1]
+
+    w = ms.covisibility_weights(m, kf_id)
+    wv, wi = jax.lax.top_k(w, NC_FREE - 1)
+    free_ids = jnp.concatenate([kf_id[None], jnp.where(wv > 0, wi, -1)])
+    # KF0 stays fixed to pin the gauge (the reference fixes pKF->mnId==0,
+    # src/Optimizer.cc:510)
+    is_free = jnp.zeros(kmax, bool).at[jnp.clip(free_ids, 0, kmax - 1)].set(
+        free_ids >= 0
+    )
+    is_free = is_free & m.kf_valid & (jnp.arange(kmax) != 0)
+
+    # points observed by free KFs
+    obs_masked = jnp.where(is_free[:, None], m.kf_obs, -1)
+    in_local = jnp.zeros(pmax, bool).at[
+        jnp.clip(obs_masked.reshape(-1), 0, pmax - 1)
+    ].set(obs_masked.reshape(-1) >= 0)
+    in_local = in_local & m.pt_valid
+    pv, pt_ids = jax.lax.top_k(in_local.astype(jnp.int32), NP_BA)
+    pt_ids = jnp.where(pv > 0, pt_ids, -1)
+    sel = jnp.zeros(pmax, bool).at[jnp.clip(pt_ids, 0, pmax - 1)].set(pt_ids >= 0)
+    remap = jnp.full(pmax, -1, jnp.int32).at[
+        jnp.clip(pt_ids, 0, pmax - 1)
+    ].set(jnp.where(pt_ids >= 0, jnp.arange(NP_BA, dtype=jnp.int32), -1))
+
+    # fixed cams: other observers of the selected points
+    observes_sel = jnp.any(
+        sel[jnp.clip(m.kf_obs, 0, pmax - 1)] & (m.kf_obs >= 0), axis=1
+    )
+    fixed_cand = observes_sel & m.kf_valid & ~is_free
+    fv, fixed_ids = jax.lax.top_k(fixed_cand.astype(jnp.int32), NC_FIXED)
+    fixed_ids = jnp.where(fv > 0, fixed_ids, -1)
+
+    cam_ids = jnp.concatenate([free_ids, fixed_ids])         # [NC_FREE+NC_FIXED]
+    NC = NC_FREE + NC_FIXED
+    cam_ok = cam_ids >= 0
+    cid = jnp.clip(cam_ids, 0, kmax - 1)
+    cam_fixed = jnp.concatenate(
+        [jnp.zeros(NC_FREE, bool), jnp.ones(NC_FIXED, bool)]
+    ) | ~is_free[cid]
+
+    # observations: every (cam-in-window, slot) whose point is selected
+    kf_obs_w = m.kf_obs[cid]                                  # [NC, N]
+    feat_ok = m.kf_feat_valid[cid]
+    pt_local = remap[jnp.clip(kf_obs_w, 0, pmax - 1)]
+    obs_valid = (
+        cam_ok[:, None] & feat_ok & (kf_obs_w >= 0) & (pt_local >= 0)
+    )
+    uvr = jnp.concatenate(
+        [m.kf_xy[cid], m.kf_uright[cid][..., None]], axis=-1
+    )
+    prob = optim.BAProblem(
+        cam_T=m.kf_pose[cid],
+        cam_fixed=cam_fixed,
+        cam_valid=cam_ok,
+        pts=m.pt_pos[jnp.clip(pt_ids, 0, pmax - 1)],
+        pt_valid=pt_ids >= 0,
+        obs_cam=jnp.repeat(jnp.arange(NC, dtype=jnp.int32), N),
+        obs_pt=jnp.clip(pt_local.reshape(-1), 0, NP_BA - 1),
+        obs_uvr=uvr.reshape(NC * N, 3),
+        obs_oct=m.kf_octave[cid].reshape(-1),
+        obs_stereo=(m.kf_uright[cid] >= 0).reshape(-1),
+        obs_valid=obs_valid.reshape(-1),
+    )
+    return prob, cam_ids, pt_ids
+
+
+@functools.partial(jax.jit, static_argnames=())
+def scatter_ba_result(
+    m: ms.MapState,
+    res: optim.BAResult,
+    prob: optim.BAProblem,
+    cam_ids: jax.Array,
+    pt_ids: jax.Array,
+):
+    """Write optimized poses/points back and erase outlier observations
+    (src/Optimizer.cc:711-757)."""
+    kmax = m.kf_pose.shape[0]
+    pmax = m.pt_pos.shape[0]
+    cid = jnp.clip(cam_ids, 0, kmax - 1)
+    write_cam = (cam_ids >= 0) & ~prob.cam_fixed
+    new_pose = jnp.where(write_cam[:, None, None], res.cam_T, m.kf_pose[cid])
+    m = m._replace(kf_pose=m.kf_pose.at[cid].set(new_pose))
+    pidc = jnp.clip(pt_ids, 0, pmax - 1)
+    write_pt = pt_ids >= 0
+    new_pos = jnp.where(write_pt[:, None], res.pts, m.pt_pos[pidc])
+    m = m._replace(pt_pos=m.pt_pos.at[pidc].set(new_pos))
+    # outlier erasure: obs that were valid going in but failed the final gate
+    NC = prob.cam_T.shape[0]
+    N = m.kf_obs.shape[1]
+    erase = (prob.obs_valid & ~res.obs_inlier).reshape(NC, N)
+    rows = m.kf_obs[cid]
+    rows = jnp.where(erase, -1, rows)
+    m = m._replace(kf_obs=m.kf_obs.at[cid].set(rows))
+    return m
+
+
+# ---------------------------------------------------------------------------
+# host driver
+# ---------------------------------------------------------------------------
+
+@dataclass
+class LocalMapper:
+    cfg: SlamConfig
+    tracker: "object"  # Tracker (avoids circular import)
+
+    def process(self, kf_id: int):
+        cfg = self.cfg
+        trk = self.tracker
+        m = trk.map
+
+        m = cull_points(m, jnp.asarray(kf_id, jnp.int32))
+
+        # triangulate vs best covisible neighbors (skip for the very first KF)
+        if kf_id > 0:
+            w = np.asarray(ms.covisibility_weights(m, jnp.asarray(kf_id)))
+            nbrs = np.argsort(-w)[:N_TRI_NEIGHBORS]
+            for nb in nbrs:
+                if w[nb] < C.COVIS_MIN_WEIGHT:
+                    continue
+                m, n_new = triangulate_with_neighbor(
+                    m,
+                    jnp.asarray(kf_id, jnp.int32),
+                    jnp.asarray(int(nb), jnp.int32),
+                    jnp.asarray(trk.n_pts, jnp.int32),
+                    cfg,
+                )
+                trk.n_pts += int(n_new)
+            # two-way fusion with the same neighborhood
+            for nb in nbrs:
+                if w[nb] < C.COVIS_MIN_WEIGHT:
+                    continue
+                m, _ = fuse_into_keyframe(
+                    m, jnp.asarray(kf_id, jnp.int32), jnp.asarray(int(nb), jnp.int32), cfg
+                )
+                m, _ = fuse_into_keyframe(
+                    m, jnp.asarray(int(nb), jnp.int32), jnp.asarray(kf_id, jnp.int32), cfg
+                )
+
+        m = update_point_descriptors(m)
+        m = ms.update_point_stats(m)
+
+        if cfg.enable_local_ba and kf_id > 0:
+            prob, cam_ids, pt_ids = build_ba_window(
+                m, jnp.asarray(kf_id, jnp.int32), cfg
+            )
+            res = optim.local_bundle_adjustment(
+                prob, _inv_sigma2(cfg), cfg.K, cfg.bf
+            )
+            m = scatter_ba_result(m, res, prob, cam_ids, pt_ids)
+
+        trk.map = m

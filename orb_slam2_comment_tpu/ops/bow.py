@@ -1,0 +1,306 @@
+"""Bag-of-binary-words place recognition — the DBoW2 replacement.
+
+The reference vendors DBoW2 (Thirdparty/DBoW2/DBoW2/TemplatedVocabulary.h):
+a k-branch, depth-L vocabulary tree of binary ORB centroids, transforming a
+descriptor set into a TF-IDF-weighted sparse word vector plus a node->
+feature grouping (FeatureVector) used to restrict matching. Its pretrained
+ORBvoc.txt is stripped from this mirror (.MISSING_LARGE_BLOBS), so this
+module both *trains* a vocabulary (binary k-medians, host-side) and runs
+the transform on device.
+
+TPU redesign:
+- the tree lives as flat arrays (children table + packed centroids);
+- descent is L gather+argmin steps over all descriptors at once, with the
+  Hamming-to-children computed via the same signed-bits matmul as
+  ops.matching (TemplatedVocabulary::transform's per-descriptor recursive
+  descent, header:355, becomes one batched kernel);
+- BoW vectors are DENSE [n_words] arrays — at the few-thousand-word
+  vocabularies this framework trains, dense scoring is a single matmul,
+  which beats sparse-map intersection on TPU by construction. (The
+  reference's 1M-word text vocabulary can be loaded with load_orb_vocab
+  and descended the same way; scoring then uses the same dense path over
+  active words.)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from orb_slam2_comment_tpu.ops.orb import pack_bits, unpack_descriptors_signed
+
+
+class Vocabulary(NamedTuple):
+    """Flat-array vocabulary tree.
+
+    nodes are indexed breadth-first; node 0 is the root (no centroid).
+    """
+
+    children: jax.Array    # [n_nodes, k] int32 child node ids (-1 none)
+    node_desc: jax.Array   # [n_nodes, 8] uint32 centroids
+    node_word: jax.Array   # [n_nodes] int32 word id if leaf else -1
+    word_weight: jax.Array  # [n_words] f32 IDF weights
+    group_depth: int       # depth whose node id becomes the FeatureVector key
+    depth: int
+    k: int
+
+    @property
+    def n_words(self):
+        return self.word_weight.shape[0]
+
+    @property
+    def n_nodes(self):
+        return self.children.shape[0]
+
+
+def np_unpack_bits(desc: np.ndarray) -> np.ndarray:
+    """[..., 8] uint32 -> [..., 256] uint8, LSB-first per word — the same
+    bit order as ops.orb.pack_bits / unpack_descriptors_signed (np.packbits
+    would be MSB-first and silently permute bits)."""
+    shifts = np.arange(32, dtype=np.uint32)
+    bits = (desc[..., None] >> shifts) & np.uint32(1)
+    return bits.reshape(desc.shape[:-1] + (256,)).astype(np.uint8)
+
+
+def np_pack_bits(bits: np.ndarray) -> np.ndarray:
+    """[..., 256] -> [..., 8] uint32, inverse of np_unpack_bits."""
+    b = bits.reshape(bits.shape[:-1] + (8, 32)).astype(np.uint32)
+    shifts = np.arange(32, dtype=np.uint32)
+    return (b << shifts).sum(axis=-1).astype(np.uint32)
+
+
+def _majority(bits: np.ndarray) -> np.ndarray:
+    """Bitwise majority of [N, 256] -> [256] uint8."""
+    return (bits.sum(axis=0) * 2 >= bits.shape[0]).astype(np.uint8)
+
+
+def _hamming_np(a_bits: np.ndarray, b_bits: np.ndarray) -> np.ndarray:
+    return (a_bits[:, None, :] != b_bits[None, :, :]).sum(-1)
+
+
+def train_vocabulary(
+    descriptors: np.ndarray,  # [N, 8] uint32 packed
+    k: int = 10,
+    depth: int = 3,
+    levels_up: int = 1,
+    seed: int = 0,
+    iters: int = 8,
+) -> Vocabulary:
+    """Binary k-medians tree (the DBoW2 create() analogue,
+    TemplatedVocabulary.h HKmeansStep). Host-side numpy; run once offline.
+    """
+    r = np.random.default_rng(seed)
+    bits = np_unpack_bits(np.asarray(descriptors))  # [N, 256]
+
+    children_rows = [np.full(k, -1, np.int64)]  # root placeholder row
+    node_descs = [np.zeros(256, np.uint8)]      # root has no centroid
+    node_parent = [-1]
+    node_depth = [0]
+
+    def split(node_id, idx, d):
+        nonlocal children_rows, node_descs
+        if d >= depth or len(idx) < k:
+            return
+        data = bits[idx]
+        # k-medians init: random distinct samples
+        sel = r.choice(len(idx), size=min(k, len(idx)), replace=False)
+        cents = data[sel].copy()
+        for _ in range(iters):
+            dmat = _hamming_np(data, cents)
+            assign = dmat.argmin(1)
+            for c in range(len(cents)):
+                members = data[assign == c]
+                if len(members):
+                    cents[c] = _majority(members)
+        dmat = _hamming_np(data, cents)
+        assign = dmat.argmin(1)
+        row = np.full(k, -1, np.int64)
+        for c in range(len(cents)):
+            members = idx[assign == c]
+            if len(members) == 0:
+                continue
+            child_id = len(node_descs)
+            node_descs.append(cents[c])
+            node_parent.append(node_id)
+            node_depth.append(d + 1)
+            children_rows.append(np.full(k, -1, np.int64))
+            row[c] = child_id
+            split(child_id, members, d + 1)
+        children_rows[node_id] = row
+
+    split(0, np.arange(len(bits)), 0)
+
+    n_nodes = len(node_descs)
+    children = np.stack(children_rows)[:n_nodes]
+    is_leaf = (children < 0).all(axis=1)
+    is_leaf[0] = False
+    node_word = np.full(n_nodes, -1, np.int64)
+    leaves = np.where(is_leaf)[0]
+    node_word[leaves] = np.arange(len(leaves))
+
+    # IDF weights from the training corpus (TemplatedVocabulary::setNodeWeights)
+    packed = np_pack_bits(np.stack(node_descs))
+    voc = Vocabulary(
+        children=jnp.asarray(children, jnp.int32),
+        node_desc=jnp.asarray(packed),
+        node_word=jnp.asarray(node_word, jnp.int32),
+        word_weight=jnp.ones(len(leaves), jnp.float32),
+        group_depth=max(depth - levels_up, 1),
+        depth=depth,
+        k=k,
+    )
+    # compute IDF by transforming the corpus
+    words, _, _ = transform(voc, jnp.asarray(descriptors), jnp.ones(len(descriptors), bool))
+    counts = np.zeros(len(leaves), np.int64)
+    w = np.asarray(words)
+    w = w[w >= 0]
+    np.add.at(counts, w, 1)
+    n = max(len(bits), 1)
+    idf = np.log(n / np.maximum(counts, 1)).astype(np.float32)
+    idf[counts == 0] = 0.0
+    return voc._replace(word_weight=jnp.asarray(idf))
+
+
+@functools.partial(jax.jit, static_argnames=("voc_depth", "voc_k", "group_depth"))
+def _transform_impl(
+    children, node_desc_signed, node_word, desc, valid,
+    voc_depth: int, voc_k: int, group_depth: int,
+):
+    n = desc.shape[0]
+    sbits = unpack_descriptors_signed(desc)  # [N, 256] bf16
+    # distances to ALL node centroids at once: one matmul, then descend by
+    # gathering rows — cheaper and simpler than per-level gathers for the
+    # few-thousand-node trees we train
+    dots = jnp.dot(
+        sbits, node_desc_signed.T, preferred_element_type=jnp.float32
+    )
+    dist = (256.0 - dots) * 0.5  # [N, n_nodes]
+
+    node = jnp.zeros(n, jnp.int32)
+    group = jnp.zeros(n, jnp.int32)
+    for d in range(voc_depth):
+        ch = children[node]                      # [N, k]
+        has = ch >= 0
+        chc = jnp.clip(ch, 0, dist.shape[1] - 1)
+        dch = jnp.where(has, jnp.take_along_axis(dist, chc, axis=1), 1e9)
+        best = jnp.argmin(dch, axis=1)
+        nxt = jnp.take_along_axis(chc, best[:, None], axis=1)[:, 0]
+        any_child = jnp.any(has, axis=1)
+        node = jnp.where(any_child, nxt, node)
+        if d + 1 == group_depth:
+            group = node
+    words = jnp.where(valid, node_word[node], -1)
+    group = jnp.where(valid, group, -1)
+    return words, group
+
+
+def transform(voc: Vocabulary, desc: jax.Array, valid: jax.Array):
+    """descriptors -> (word ids [N], group node ids [N], dense BoW [W]).
+
+    The group ids play the role of DBoW2's FeatureVector keys at
+    levelsup (Frame::ComputeBoW, src/Frame.cc:395-402)."""
+    signed = unpack_descriptors_signed(voc.node_desc)
+    words, group = _transform_impl(
+        voc.children, signed, voc.node_word, desc, valid,
+        voc.depth, voc.k, voc.group_depth,
+    )
+    vec = bow_vector(voc, words)
+    return words, group, vec
+
+
+@jax.jit
+def _bow_vector_impl(word_weight, words):
+    W = word_weight.shape[0]
+    ok = words >= 0
+    wid = jnp.clip(words, 0, W - 1)
+    v = jnp.zeros(W, jnp.float32).at[wid].add(
+        jnp.where(ok, word_weight[wid], 0.0)
+    )
+    n = jnp.sum(jnp.abs(v))
+    return v / jnp.maximum(n, 1e-9)
+
+
+def bow_vector(voc: Vocabulary, words: jax.Array) -> jax.Array:
+    """L1-normalized TF-IDF vector (BowVector::addWeight + normalize)."""
+    return _bow_vector_impl(voc.word_weight, words)
+
+
+@jax.jit
+def l1_score(a: jax.Array, b: jax.Array) -> jax.Array:
+    """DBoW2 L1 similarity in [0,1]: 1 - 0.5*|a-b|_1 for L1-normalized
+    vectors (ScoringObject.cpp L1Scoring::score). Batched over leading
+    dims of either argument."""
+    return 1.0 - 0.5 * jnp.sum(jnp.abs(a - b), axis=-1)
+
+
+def save_vocabulary(path: str, voc: Vocabulary):
+    np.savez_compressed(
+        path,
+        children=np.asarray(voc.children),
+        node_desc=np.asarray(voc.node_desc),
+        node_word=np.asarray(voc.node_word),
+        word_weight=np.asarray(voc.word_weight),
+        meta=np.asarray([voc.group_depth, voc.depth, voc.k]),
+    )
+
+
+def load_vocabulary(path: str) -> Vocabulary:
+    z = np.load(path)
+    g, d, k = (int(x) for x in z["meta"])
+    return Vocabulary(
+        children=jnp.asarray(z["children"]),
+        node_desc=jnp.asarray(z["node_desc"]),
+        node_word=jnp.asarray(z["node_word"]),
+        word_weight=jnp.asarray(z["word_weight"]),
+        group_depth=g,
+        depth=d,
+        k=k,
+    )
+
+
+def load_orb_vocab(path: str, levels_up: int = 4) -> Vocabulary:
+    """Parse the upstream ORBvoc.txt format (TemplatedVocabulary::
+    loadFromTextFile, header:241): first line 'k L s1 s2', then one node
+    per line: 'parent is_leaf d0..d31 weight'."""
+    with open(path) as f:
+        header = f.readline().split()
+        k, L = int(header[0]), int(header[1])
+        parents, leaf_flags, descs, weights = [], [], [], []
+        for line in f:
+            p = line.split()
+            if len(p) < 35:
+                continue
+            parents.append(int(p[0]))
+            leaf_flags.append(int(p[1]) != 0)
+            descs.append([int(v) for v in p[2:34]])
+            weights.append(float(p[34]))
+    n = len(parents) + 1  # + root
+    children = np.full((n, k), -1, np.int64)
+    slot = np.zeros(n, np.int64)
+    node_desc = np.zeros((n, 32), np.uint8)
+    is_leaf = np.zeros(n, bool)
+    w = np.zeros(n, np.float32)
+    for i in range(len(parents)):
+        nid = i + 1
+        par = parents[i] + 1 if parents[i] >= 0 else 0
+        children[par, slot[par] % k] = nid
+        slot[par] += 1
+        node_desc[nid] = descs[i]
+        is_leaf[nid] = leaf_flags[i]
+        w[nid] = weights[i]
+    node_word = np.full(n, -1, np.int64)
+    leaves = np.where(is_leaf)[0]
+    node_word[leaves] = np.arange(len(leaves))
+    return Vocabulary(
+        children=jnp.asarray(children, jnp.int32),
+        node_desc=jnp.asarray(node_desc.view(np.uint32)),
+        node_word=jnp.asarray(node_word, jnp.int32),
+        word_weight=jnp.asarray(w[leaves]),
+        group_depth=max(L - levels_up, 1),
+        depth=L,
+        k=k,
+    )

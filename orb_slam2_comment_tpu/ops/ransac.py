@@ -1,0 +1,212 @@
+"""Batched RANSAC solvers: PnP (relocalization) and Sim3 (loop alignment).
+
+TPU redesign of the reference's hypothesis-at-a-time RANSAC loops:
+hypotheses are embarrassingly parallel, so ALL of them are generated,
+solved and scored in one batched program.
+
+- pnp_ransac replaces PnPsolver (src/PnPsolver.cc: EPnP + adaptive
+  RANSAC driven 5-iterations-at-a-time from Tracking::Relocalization,
+  src/Tracking.cc:1341-1502). The minimal solver here is the 6-point DLT
+  with orthonormalization instead of EPnP's control-point
+  parameterization — same role (pose hypothesis from few 3D-2D matches,
+  refined later by pose_optimize), simpler to batch; per-octave chi2
+  inlier gating matches the reference (PnPsolver::SetRansacParameters).
+- sim3_ransac replaces Sim3Solver (src/Sim3Solver.cc): 3-point closed-form
+  Horn 1987 absolute orientation (quaternion eigenvector method) with
+  optional fixed scale, inliers checked by mutual reprojection in both
+  cameras (Sim3Solver::CheckInliers).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from orb_slam2_comment_tpu.ops import geometry as geo
+
+
+def _sample_indices(key, n_hyp, set_size, n, p_valid):
+    """[n_hyp, set_size] indices drawn from valid entries (with replacement
+    across hypotheses; per-hypothesis duplicates are tolerated — degenerate
+    hypotheses simply score poorly)."""
+    logits = jnp.where(p_valid, 0.0, -jnp.inf)
+    return jax.random.categorical(
+        key, logits[None, :], shape=(n_hyp, set_size)
+    )
+
+
+class PnPResult(NamedTuple):
+    Tcw: jax.Array
+    inliers: jax.Array
+    n_inliers: jax.Array
+    ok: jax.Array
+
+
+@functools.partial(jax.jit, static_argnames=("K", "n_hyp", "set_size"))
+def pnp_ransac(
+    Xw: jax.Array,          # [N, 3]
+    uv: jax.Array,          # [N, 2]
+    octave: jax.Array,      # [N]
+    valid: jax.Array,       # [N] bool
+    sigma2_levels: jax.Array,
+    K: tuple,
+    seed: int = 0,
+    n_hyp: int = 128,
+    set_size: int = 6,
+) -> PnPResult:
+    """Batched DLT-PnP RANSAC. Returns the best hypothesis pose and its
+    chi2(2dof)-gated inliers."""
+    fx, fy, cx, cy = K
+    n = Xw.shape[0]
+    key = jax.random.PRNGKey(seed)
+    idx = _sample_indices(key, n_hyp, set_size, n, valid)  # [H, S]
+    Xs = Xw[idx]                      # [H, S, 3]
+    us = uv[idx]                      # [H, S, 2]
+    # normalized image coords
+    xn = (us[..., 0] - cx) / fx
+    yn = (us[..., 1] - cy) / fy
+
+    # DLT rows: for each corr, two rows of A [2S, 12]
+    Xh = jnp.concatenate([Xs, jnp.ones_like(Xs[..., :1])], axis=-1)  # [H,S,4]
+    z4 = jnp.zeros_like(Xh)
+    r1 = jnp.concatenate([Xh, z4, -xn[..., None] * Xh], axis=-1)     # [H,S,12]
+    r2 = jnp.concatenate([z4, Xh, -yn[..., None] * Xh], axis=-1)
+    A = jnp.concatenate([r1, r2], axis=1)                            # [H,2S,12]
+    AtA = jnp.einsum("hki,hkj->hij", A, A)
+    _, vecs = jnp.linalg.eigh(AtA)
+    p = vecs[..., 0]                                                 # [H,12]
+    P = p.reshape(-1, 3, 4)
+    M = P[:, :, :3]
+    # orthonormalize: M = s R  ->  R from SVD
+    U, S, Vt = jnp.linalg.svd(M)
+    R = U @ Vt
+    detR = jnp.linalg.det(R)
+    # fix improper rotations
+    Vt_fix = Vt.at[:, 2, :].multiply(jnp.sign(detR)[:, None])
+    R = U @ Vt_fix
+    s = jnp.mean(S, axis=-1) * jnp.sign(detR)
+    t = P[:, :, 3] / jnp.where(jnp.abs(s) < 1e-12, 1e-12, s)[:, None]
+    # cheirality: majority of sample points must be in front
+    Xc_s = jnp.einsum("hij,hsj->hsi", R, Xs) + t[:, None, :]
+    front = jnp.mean((Xc_s[..., 2] > 0).astype(jnp.float32), axis=1)
+    flip = front < 0.5
+    R = jnp.where(flip[:, None, None], -R * jnp.array([1.0]), R)  # placeholder no-op
+    # score all hypotheses on all points
+    Xc = jnp.einsum("hij,nj->hni", R, Xw) + t[:, None, :]
+    pu = fx * Xc[..., 0] / jnp.maximum(Xc[..., 2], 1e-9) + cx
+    pv = fy * Xc[..., 1] / jnp.maximum(Xc[..., 2], 1e-9) + cy
+    du = pu - uv[None, :, 0]
+    dv = pv - uv[None, :, 1]
+    s2 = sigma2_levels[jnp.clip(octave, 0, sigma2_levels.shape[0] - 1)]
+    chi2 = (du * du + dv * dv) / s2[None, :]
+    inl = (chi2 < 5.991) & (Xc[..., 2] > 0) & valid[None, :]
+    scores = jnp.sum(inl, axis=1)
+    best = jnp.argmax(scores)
+    Tbest = geo.make_T(R[best], t[best])
+    n_inl = scores[best]
+    return PnPResult(
+        Tcw=Tbest,
+        inliers=inl[best],
+        n_inliers=n_inl,
+        ok=n_inl >= 10,
+    )
+
+
+class Sim3Result(NamedTuple):
+    S12: jax.Array          # [4,4] Sim3 mapping cam2 coords to cam1
+    inliers: jax.Array
+    n_inliers: jax.Array
+    ok: jax.Array
+
+
+def _horn_batch(X1, X2, fix_scale: bool):
+    """Closed-form absolute orientation per hypothesis: X1 ~ s R X2 + t.
+
+    Horn 1987 quaternion method (Sim3Solver::ComputeSim3,
+    src/Sim3Solver.cc)."""
+    c1 = jnp.mean(X1, axis=1, keepdims=True)
+    c2 = jnp.mean(X2, axis=1, keepdims=True)
+    q1 = X1 - c1
+    q2 = X2 - c2
+    M = jnp.einsum("hsi,hsj->hij", q2, q1)  # correlation (from-2 to-1)
+    Sxx, Sxy, Sxz = M[:, 0, 0], M[:, 0, 1], M[:, 0, 2]
+    Syx, Syy, Syz = M[:, 1, 0], M[:, 1, 1], M[:, 1, 2]
+    Szx, Szy, Szz = M[:, 2, 0], M[:, 2, 1], M[:, 2, 2]
+    N = jnp.stack(
+        [
+            jnp.stack([Sxx + Syy + Szz, Syz - Szy, Szx - Sxz, Sxy - Syx], -1),
+            jnp.stack([Syz - Szy, Sxx - Syy - Szz, Sxy + Syx, Szx + Sxz], -1),
+            jnp.stack([Szx - Sxz, Sxy + Syx, -Sxx + Syy - Szz, Syz + Szy], -1),
+            jnp.stack([Sxy - Syx, Szx + Sxz, Syz + Szy, -Sxx - Syy + Szz], -1),
+        ],
+        axis=-2,
+    )  # [H, 4, 4]
+    evals, evecs = jnp.linalg.eigh(N)
+    q = evecs[..., -1]  # largest eigenvalue -> quaternion (w, x, y, z)
+    quat = jnp.stack([q[:, 1], q[:, 2], q[:, 3], q[:, 0]], axis=-1)  # to (x,y,z,w)
+    R = geo.quat_to_rot(quat)
+    if fix_scale:
+        s = jnp.ones(X1.shape[0])
+    else:
+        # symmetric scale (Horn eq. 39): s = sqrt(sum|q1|^2 / sum|q2|^2)
+        s = jnp.sqrt(
+            jnp.sum(q1 * q1, axis=(1, 2)) / jnp.maximum(jnp.sum(q2 * q2, axis=(1, 2)), 1e-12)
+        )
+    t = c1[:, 0, :] - s[:, None] * jnp.einsum("hij,hj->hi", R, c2[:, 0, :])
+    return R, s, t
+
+
+@functools.partial(
+    jax.jit, static_argnames=("K1", "K2", "fix_scale", "n_hyp")
+)
+def sim3_ransac(
+    Xc1: jax.Array,          # [N,3] matched points in camera-1 frame
+    Xc2: jax.Array,          # [N,3] same points in camera-2 frame
+    uv1: jax.Array,          # [N,2] observed pixels in image 1
+    uv2: jax.Array,          # [N,2] observed pixels in image 2
+    octave1: jax.Array,
+    octave2: jax.Array,
+    valid: jax.Array,
+    sigma2_levels: jax.Array,
+    K1: tuple,
+    K2: tuple,
+    fix_scale: bool = False,
+    seed: int = 0,
+    n_hyp: int = 128,
+    min_inliers: int = 20,
+) -> Sim3Result:
+    """Batched 3-point Horn RANSAC with mutual-reprojection inlier check
+    (Sim3Solver::iterate + CheckInliers; chi2 gates 9.21 as in
+    Sim3Solver.cc SetRansacParameters th2=9.21*sigma2)."""
+    n = Xc1.shape[0]
+    key = jax.random.PRNGKey(seed)
+    idx = _sample_indices(key, n_hyp, 3, n, valid)
+    R, s, t = _horn_batch(Xc1[idx], Xc2[idx], fix_scale)
+
+    def proj(Kt, X):
+        fx, fy, cx, cy = Kt
+        u = fx * X[..., 0] / jnp.maximum(X[..., 2], 1e-9) + cx
+        v = fy * X[..., 1] / jnp.maximum(X[..., 2], 1e-9) + cy
+        return jnp.stack([u, v], -1)
+
+    # S12: X1 = s R X2 + t; S21 = inverse
+    X1_pred = s[:, None, None] * jnp.einsum("hij,nj->hni", R, Xc2) + t[:, None, :]
+    Rt = jnp.swapaxes(R, 1, 2)
+    X2_pred = jnp.einsum("hij,hnj->hni", Rt, (Xc1[None] - t[:, None, :])) / s[:, None, None]
+    e1 = proj(K1, X1_pred) - uv1[None]
+    e2 = proj(K2, X2_pred) - uv2[None]
+    s2_1 = sigma2_levels[jnp.clip(octave1, 0, sigma2_levels.shape[0] - 1)]
+    s2_2 = sigma2_levels[jnp.clip(octave2, 0, sigma2_levels.shape[0] - 1)]
+    c1 = jnp.sum(e1 * e1, -1) / s2_1[None]
+    c2 = jnp.sum(e2 * e2, -1) / s2_2[None]
+    inl = (c1 < 9.21) & (c2 < 9.21) & valid[None]
+    scores = jnp.sum(inl, axis=1)
+    best = jnp.argmax(scores)
+    S12 = geo.sim3_make(R[best], t[best], s[best])
+    n_inl = scores[best]
+    return Sim3Result(
+        S12=S12, inliers=inl[best], n_inliers=n_inl, ok=n_inl >= min_inliers
+    )

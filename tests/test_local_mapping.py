@@ -1,0 +1,134 @@
+"""Local mapping stage tests: culling, triangulation, fusion, local BA."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from orb_slam2_comment_tpu.models import frame as fr
+from orb_slam2_comment_tpu.models import local_mapping as lm
+from orb_slam2_comment_tpu.models import map_state as ms
+from orb_slam2_comment_tpu.models.tracking import OK, Tracker
+from orb_slam2_comment_tpu.utils import synthetic as syn
+from orb_slam2_comment_tpu.utils import trajectory as traj
+from orb_slam2_comment_tpu.utils.config import SlamConfig
+
+K = syn.DEFAULT_K
+B = syn.DEFAULT_BASELINE
+
+
+def _cfg(**kw):
+    return SlamConfig(
+        sensor="rgbd",
+        fx=K[0], fy=K[1], cx=K[2], cy=K[3],
+        bf=K[0] * B,
+        n_features=600,
+        n_levels=4,
+        max_keyframes=32,
+        max_points=8192,
+        **kw,
+    )
+
+
+def _run_with_mapper(n_frames=10):
+    cfg = _cfg(enable_local_ba=True)
+    scene = syn.make_scene(n_points=1400, seed=0)
+    poses = syn.make_trajectory("jitter", n_frames=n_frames, step=0.05)
+    tracker = Tracker(cfg)
+    mapper = lm.LocalMapper(cfg, tracker)
+    tracker.new_kf_callbacks.append(mapper.process)
+    est, gt = [], []
+    for i, f in enumerate(
+        syn.render_sequence(scene, poses, K=K, depth=True, baseline=B)
+    ):
+        frame = fr.build_frame_rgbd(i, f["timestamp"], f["image"], f["depth"], cfg)
+        out = tracker.track(frame)
+        if out.Tcw is not None:
+            est.append(out.Tcw)
+            gt.append(f["Tcw_gt"])
+    return tracker, est, gt
+
+
+class TestFullLocalMapping:
+    def test_pipeline_with_ba(self):
+        tracker, est, gt = _run_with_mapper()
+        assert len(est) == 10
+        assert tracker.state == OK
+        ate = traj.ate_rmse(est, gt)
+        assert ate < 0.03, f"ATE {ate*100:.1f} cm"
+        # local mapping should keep a healthy observation graph
+        obs = np.asarray(ms.point_observation_counts(tracker.map))
+        valid = np.asarray(tracker.map.pt_valid)
+        assert (obs[valid] >= 1).all()
+        assert (obs[valid] >= 2).sum() > 100  # multi-view points exist
+
+
+class TestCulling:
+    def test_low_found_ratio_culled(self):
+        cfg = _cfg()
+        m = ms.empty_map(8, 64, 16)
+        # one valid KF observing point 0; point 1 unobserved & weak
+        m = m._replace(
+            kf_valid=m.kf_valid.at[0].set(True),
+            pt_valid=m.pt_valid.at[jnp.asarray([0, 1])].set(True),
+            pt_first_kf=m.pt_first_kf.at[jnp.asarray([0, 1])].set(0),
+            pt_visible=m.pt_visible.at[jnp.asarray([0, 1])].set(10),
+            pt_found=m.pt_found.at[0].set(9).at[1].set(1),  # ratio .9 vs .1
+            kf_obs=m.kf_obs.at[0, 0].set(0).at[0, 1].set(1),
+            kf_uright=m.kf_uright.at[0, 0].set(5.0).at[0, 1].set(5.0),
+        )
+        m2 = lm.cull_points(m, jnp.asarray(1, jnp.int32))
+        assert bool(m2.pt_valid[0])
+        assert not bool(m2.pt_valid[1])  # found ratio 0.1 < 0.25
+        assert int(m2.kf_obs[0, 1]) == -1  # observation dropped
+
+
+class TestTriangulation:
+    def test_creates_correct_points(self):
+        """Two rendered keyframes with known poses: triangulated points
+        should land near scene landmarks."""
+        cfg = _cfg()
+        scene = syn.make_scene(n_points=400, seed=7)
+        T1 = np.eye(4, dtype=np.float32)
+        T2 = np.eye(4, dtype=np.float32)
+        T2[:3, 3] = [0.4, 0.0, 0.0]  # wide baseline
+        img1 = syn.render(scene, T1, K, syn.DEFAULT_HW, seed=1)
+        img2 = syn.render(scene, T2, K, syn.DEFAULT_HW, seed=2)
+        f1 = fr.build_frame_mono(0, 0.0, img1, cfg)
+        f2 = fr.build_frame_mono(1, 0.05, img2, cfg)
+        m = ms.empty_map(8, 2048, f1.n_feat)
+        nf = f1.n_feat
+
+        def insert(m, slot, f, T):
+            return m._replace(
+                kf_pose=m.kf_pose.at[slot].set(jnp.asarray(T)),
+                kf_valid=m.kf_valid.at[slot].set(True),
+                kf_xy=m.kf_xy.at[slot].set(f.feats.xy),
+                kf_octave=m.kf_octave.at[slot].set(f.feats.octave),
+                kf_angle=m.kf_angle.at[slot].set(f.feats.angle),
+                kf_desc=m.kf_desc.at[slot].set(f.feats.desc),
+                kf_feat_valid=m.kf_feat_valid.at[slot].set(f.feats.valid),
+            )
+
+        m = insert(m, 0, f1, T1)
+        m = insert(m, 1, f2, T2)
+        m2, n_new = lm.triangulate_with_neighbor(
+            m, jnp.asarray(0, jnp.int32), jnp.asarray(1, jnp.int32),
+            jnp.asarray(0, jnp.int32), cfg,
+        )
+        n_new = int(n_new)
+        assert n_new > 30, n_new
+        pts = np.asarray(m2.pt_pos[np.asarray(m2.pt_valid)])
+        # each new point should be near some ground-truth landmark;
+        # keypoints sit on marker corners (+-7px), so allow a depth-scaled
+        # offset (~7px / fx * z)
+        d = np.linalg.norm(
+            pts[:, None, :] - scene.points[None, :, :], axis=-1
+        ).min(axis=1)
+        # tolerance = lateral corner offset (+-7px) + 1px-disparity depth
+        # uncertainty z^2/(fx*b) for the 0.4m baseline
+        z = pts[:, 2]
+        tol = 0.15 + 0.015 * z + z * z / (K[0] * 0.4)
+        frac_good = (d < tol).mean()
+        assert frac_good > 0.85, f"only {frac_good:.2f} near landmarks"
+        # observations registered in both KFs
+        assert int((np.asarray(m2.kf_obs[0]) >= 0).sum()) == n_new
+        assert int((np.asarray(m2.kf_obs[1]) >= 0).sum()) == n_new
