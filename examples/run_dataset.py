@@ -1,0 +1,93 @@
+"""Dataset drivers with the reference's argv signatures.
+
+One entry point covering the reference's six CLI drivers (Examples/
+{Monocular,Stereo,RGB-D}); thin wrappers below keep the exact per-driver
+argv shape (e.g. `rgbd_tum.py vocabulary settings sequence associations`).
+
+Shape per the reference (Examples/Stereo/stereo_kitti.cc:35-110):
+load image list -> System ctor -> per-frame Track* with timing -> save
+trajectory -> print timing stats.
+"""
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def run(sensor, dataset, seq_dir, settings=None, vocabulary=None,
+        associations=None, timestamps=None, out_prefix="trajectory",
+        max_frames=None):
+    from orb_slam2_comment_tpu.models.system import System
+    from orb_slam2_comment_tpu.utils import datasets as ds
+    from orb_slam2_comment_tpu.utils.config import SlamConfig, load_yaml_settings
+
+    if settings:
+        cfg = load_yaml_settings(settings, sensor)
+    else:
+        cfg = SlamConfig(sensor=sensor)
+
+    if dataset == "tum_mono":
+        items = ds.load_tum_mono(seq_dir)
+    elif dataset == "tum_rgbd":
+        items = ds.load_tum_rgbd(seq_dir, associations)
+    elif dataset == "kitti":
+        items = ds.load_kitti(seq_dir, stereo=sensor == "stereo")
+    elif dataset == "euroc":
+        items = ds.load_euroc(seq_dir, timestamps, stereo=sensor == "stereo")
+    else:
+        raise ValueError(dataset)
+    if max_frames:
+        items = items[:max_frames]
+
+    system = System(cfg, vocabulary_path=vocabulary)
+    times = []
+    for i, it in enumerate(items):
+        img = ds.load_image_gray(it.image)
+        t0 = time.perf_counter()
+        if sensor == "rgbd":
+            depth = ds.load_depth(it.depth, cfg.depth_map_factor)
+            out = system.track_rgbd(img, depth, it.timestamp)
+        elif sensor == "stereo":
+            img_r = ds.load_image_gray(it.image_right)
+            out = system.track_stereo(img, img_r, it.timestamp)
+        else:
+            out = system.track_monocular(img, it.timestamp)
+        dt = time.perf_counter() - t0
+        times.append(dt)
+        if i % 20 == 0:
+            print(f"frame {i}/{len(items)} state={out.state} "
+                  f"inl={out.n_inliers} {dt*1e3:.1f}ms")
+
+    system.shutdown()
+    system.save_trajectory_tum(f"{out_prefix}_tum.txt")
+    system.save_trajectory_kitti(f"{out_prefix}_kitti.txt")
+    system.save_keyframe_trajectory_tum(f"{out_prefix}_kf_tum.txt")
+    t = np.asarray(times[5:]) if len(times) > 10 else np.asarray(times)
+    print(f"median tracking time: {np.median(t)*1e3:.1f} ms")
+    print(f"mean tracking time:   {np.mean(t)*1e3:.1f} ms")
+    return system
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("sensor", choices=["monocular", "stereo", "rgbd"])
+    ap.add_argument("dataset", choices=["tum_mono", "tum_rgbd", "kitti", "euroc"])
+    ap.add_argument("sequence")
+    ap.add_argument("--settings")
+    ap.add_argument("--vocabulary")
+    ap.add_argument("--associations")
+    ap.add_argument("--timestamps")
+    ap.add_argument("--out-prefix", default="trajectory")
+    ap.add_argument("--max-frames", type=int)
+    a = ap.parse_args()
+    run(a.sensor, a.dataset, a.sequence, a.settings, a.vocabulary,
+        a.associations, a.timestamps, a.out_prefix, a.max_frames)
+
+
+if __name__ == "__main__":
+    main()

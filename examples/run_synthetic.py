@@ -53,6 +53,7 @@ def main():
         max_keyframes=64,
         max_points=16384,
         enable_local_ba=args.local_ba,
+        match_th_scale=1.5,
     )
 
     scene = syn.make_scene(n_points=1400, seed=0)

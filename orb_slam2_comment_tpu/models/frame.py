@@ -79,6 +79,7 @@ def build_frame_stereo(
         cfg.bf,
         min_z=cfg.baseline,
         n_levels=cfg.n_levels,
+        th_stereo=min(75.0 * cfg.match_th_scale, 100.0),
     )
     feats_l = feats_l._replace(xy=undistort_points(feats_l.xy, cfg))
     return Frame(frame_id, timestamp, feats_l, uright, depth, pyramid=pyr_l)

@@ -1,0 +1,114 @@
+"""Place-recognition database — the reference's KeyFrameDatabase
+(src/KeyFrameDatabase.cc) over dense BoW matrices.
+
+The reference keeps an inverted file (word -> list<KeyFrame*>). With the
+dense [Kmax, W] BoW matrix this framework stores, the inverted-file
+queries become matmuls:
+  shared-word counts  = binarize(q) @ binarize(DB)^T
+  L1 scores           = 1 - 0.5 * |q - DB|_1   (row-wise)
+followed by the same candidate gating the reference applies
+(>=0.8*maxCommonWords, minScore, covisibility-group accumulation,
+>0.75*bestAccScore — DetectLoopCandidates, src/KeyFrameDatabase.cc:76-197).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from orb_slam2_comment_tpu import constants as C
+from orb_slam2_comment_tpu.models import map_state as ms
+from orb_slam2_comment_tpu.ops import bow
+
+
+@jax.jit
+def _scores_kernel(db_bow, db_valid, query):
+    scores = bow.l1_score(db_bow, query[None, :])
+    common = jnp.sum((db_bow > 0) & (query[None, :] > 0), axis=1)
+    scores = jnp.where(db_valid, scores, -1.0)
+    common = jnp.where(db_valid, common, 0)
+    return scores, common
+
+
+class KeyFrameDatabase:
+    """Holds per-KF BoW vectors + feature word/group tables."""
+
+    def __init__(self, voc: bow.Vocabulary, max_kfs: int, n_feat: int):
+        self.voc = voc
+        self.bow = jnp.zeros((max_kfs, voc.n_words), jnp.float32)
+        self.groups = jnp.full((max_kfs, n_feat), -1, jnp.int32)
+        self.words = jnp.full((max_kfs, n_feat), -1, jnp.int32)
+        self.valid = jnp.zeros(max_kfs, bool)
+
+    def add(self, kf_id: int, desc, feat_valid):
+        """Transform a keyframe's descriptors and index it (add(),
+        src/KeyFrameDatabase.cc:40-47)."""
+        words, groups, vec = bow.transform(self.voc, desc, feat_valid)
+        self.bow = self.bow.at[kf_id].set(vec)
+        self.groups = self.groups.at[kf_id].set(groups)
+        self.words = self.words.at[kf_id].set(words)
+        self.valid = self.valid.at[kf_id].set(True)
+        return vec
+
+    def erase(self, kf_id: int):
+        self.valid = self.valid.at[kf_id].set(False)
+
+    def _candidates(self, query_vec, exclude_mask, min_score):
+        scores, common = _scores_kernel(self.bow, self.valid, query_vec)
+        scores = np.array(scores)
+        common = np.array(common)
+        scores[exclude_mask] = -1.0
+        common[exclude_mask] = 0
+        if common.max() == 0:
+            return np.empty(0, np.int64), scores
+        min_common = 0.8 * common.max()  # BOW_COMMON_WORD_RATIO
+        cand = np.where((common >= min_common) & (scores >= min_score))[0]
+        return cand, scores
+
+    def detect_loop_candidates(self, m: ms.MapState, kf_id: int, min_score: float,
+                               max_out: int = 8):
+        """DetectLoopCandidates (src/KeyFrameDatabase.cc:76-197): exclude
+        covisible neighbors, gate by shared words and minScore, accumulate
+        scores over top-10 covisibility groups, keep > 0.75*bestAcc."""
+        query = self.bow[kf_id]
+        w = np.asarray(ms.covisibility_weights(m, jnp.asarray(kf_id)))
+        exclude = w >= C.COVIS_MIN_WEIGHT
+        exclude[kf_id] = True
+        cand, scores = self._candidates(query, exclude, min_score)
+        if len(cand) == 0:
+            return []
+        cand_set = set(int(c) for c in cand)
+        acc = []
+        for c in cand:
+            cw = np.asarray(ms.covisibility_weights(m, jnp.asarray(int(c))))
+            group = list(np.argsort(-cw)[: C.BOW_COVIS_GROUP])
+            group = [g for g in group if cw[g] > 0] + [int(c)]
+            acc_score = sum(scores[g] for g in group if g in cand_set)
+            best_in_group = max(
+                (g for g in group if g in cand_set), key=lambda g: scores[g]
+            )
+            acc.append((acc_score, best_in_group))
+        best_acc = max(a for a, _ in acc)
+        keep = sorted(
+            {b for a, b in acc if a > C.BOW_ACC_SCORE_RATIO * best_acc},
+            key=lambda b: -scores[b],
+        )
+        return keep[:max_out]
+
+    def detect_reloc_candidates(self, query_vec, max_out: int = 5):
+        """DetectRelocalizationCandidates (src/KeyFrameDatabase.cc:199-311):
+        same gating without the minScore floor or covisibility exclusion.
+        The covisibility-group accumulation is skipped (scores already rank
+        well at our map sizes); top candidates are returned directly."""
+        cand, scores = self._candidates(
+            query_vec, np.zeros(self.bow.shape[0], bool), min_score=-1.0
+        )
+        if len(cand) == 0:
+            return []
+        order = cand[np.argsort(-scores[cand])]
+        best = scores[order[0]]
+        out = [int(c) for c in order if scores[c] > 0.75 * best]
+        return out[:max_out]

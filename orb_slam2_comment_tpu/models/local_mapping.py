@@ -139,6 +139,10 @@ def cull_points(m: ms.MapState, current_kf: jax.Array) -> ms.MapState:
         (found_ratio < C.MIN_FOUND_RATIO)
         | ((age >= 2) & (obs < C.MIN_OBS_FOR_POINT))
     )
+    # orphaned points (every observation erased by BA pruning/fusion) die
+    # regardless of age — MapPoint::EraseObservation's auto-bad path
+    # (src/MapPoint.cc:111-137)
+    bad = bad | (obs == 0)
     new_valid = m.pt_valid & ~bad
     # drop observations of culled points
     pmax = m.pt_pos.shape[0]
@@ -183,7 +187,8 @@ def triangulate_with_neighbor(
     un1 = m.kf_obs[kf1] < 0
     un2 = m.kf_obs[kf2] < 0
     res = matching.match_epipolar(
-        f1, f2, F12, sigma2, un1, un2, check_rotation=False
+        f1, f2, F12, sigma2, un1, un2,
+        max_dist=cfg.th_low, check_rotation=False,
     )
     idx2 = res.idx
     ok = res.ok & enough_baseline
@@ -308,7 +313,7 @@ def fuse_into_keyframe(
         feats=feats,
         radius=3.0,
         scale_factors=jnp.asarray(cfg.orb.scales),
-        max_dist=float(C.TH_LOW),
+        max_dist=cfg.th_low,
     )
     obs_counts = ms.point_observation_counts(m)
     dst_obs = m.kf_obs[dst_kf]

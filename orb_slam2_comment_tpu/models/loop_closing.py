@@ -1,0 +1,313 @@
+"""Loop detection and correction — the reference's LoopClosing thread
+(src/LoopClosing.cc) as a synchronous per-keyframe pass.
+
+Stages (LoopClosing::Run, :57-88):
+  DetectLoop   (:103-229): BoW candidates above the covisible-neighbor
+               minimum score, validated by covisibility-consistency across
+               3 consecutive detections.
+  ComputeSim3  (:231-400): BoW-gated 3D-3D correspondences -> batched Horn
+               Sim3 RANSAC -> sim3_optimize -> guided projection count.
+  CorrectLoop  (:402-643): propagate the corrective Sim3 through the
+               current covisibility neighborhood (poses + points), fuse
+               duplicates, optimize the essential graph, then (optionally)
+               a PCG global BA.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax.numpy as jnp
+import numpy as np
+
+from orb_slam2_comment_tpu import constants as C
+from orb_slam2_comment_tpu.models import map_state as ms
+from orb_slam2_comment_tpu.models.local_mapping import fuse_into_keyframe
+from orb_slam2_comment_tpu.ops import bow as bow_mod
+from orb_slam2_comment_tpu.ops import geometry as geo
+from orb_slam2_comment_tpu.ops import matching, optim, ransac
+from orb_slam2_comment_tpu.utils.config import MONOCULAR, SlamConfig
+
+
+@dataclass
+class LoopCloser:
+    cfg: SlamConfig
+    tracker: object
+    db: object                      # KeyFrameDatabase
+    last_loop_kf: int = -(1 << 30)
+    consistent_groups: list = field(default_factory=list)
+    n_loops_closed: int = 0
+    run_global_ba: bool = True
+
+    # ------------------------------------------------------------------
+    def process(self, kf_id: int):
+        if self.tracker.n_kfs < 5:
+            return False
+        if kf_id - self.last_loop_kf < C.LOOP_MIN_KFS_GAP:
+            return False
+        cand = self._detect_loop(kf_id)
+        if cand is None:
+            return False
+        ok, S_cur_cand = self._compute_sim3(kf_id, cand)
+        if not ok:
+            return False
+        self._correct_loop(kf_id, cand, S_cur_cand)
+        self.last_loop_kf = kf_id
+        self.n_loops_closed += 1
+        return True
+
+    # ------------------------------------------------------------------
+    def _detect_loop(self, kf_id: int):
+        """DetectLoop (src/LoopClosing.cc:103-229)."""
+        m = self.tracker.map
+        w = np.asarray(ms.covisibility_weights(m, jnp.asarray(kf_id)))
+        nbrs = np.where(w >= C.COVIS_MIN_WEIGHT)[0]
+        if len(nbrs) == 0:
+            return None
+        q = self.db.bow[kf_id]
+        scores = [float(bow_mod.l1_score(q, self.db.bow[int(nb)])) for nb in nbrs]
+        min_score = max(min(scores), 0.0)
+        candidates = self.db.detect_loop_candidates(m, kf_id, min_score)
+        if not candidates:
+            self.consistent_groups = []
+            return None
+        # covisibility-consistency across 3 detections (mnCovisibility-
+        # ConsistencyTh=3, src/LoopClosing.cc:152-211)
+        new_groups = []
+        enough = None
+        prev = self.consistent_groups
+        for c in candidates:
+            cw = np.asarray(ms.covisibility_weights(m, jnp.asarray(int(c))))
+            group = set(np.where(cw > 0)[0].tolist()) | {int(c)}
+            count = 0
+            for pg, pc in prev:
+                if group & pg:
+                    count = max(count, pc + 1)
+            new_groups.append((group, count))
+            if count >= C.LOOP_CONSISTENCY_TH and enough is None:
+                enough = int(c)
+        self.consistent_groups = new_groups
+        return enough
+
+    # ------------------------------------------------------------------
+    def _compute_sim3(self, kf_id: int, cand: int):
+        """ComputeSim3 (src/LoopClosing.cc:231-400). Returns
+        (ok, S12 [4,4]) with S12 mapping candidate-camera coords into
+        current-camera coords."""
+        cfg = self.cfg
+        m = self.tracker.map
+        k1, k2 = jnp.asarray(kf_id), jnp.asarray(cand)
+        # BoW-node-gated matching between the two KFs (SearchByBoW,
+        # src/ORBmatcher.cc:522). The node mask scopes the ratio test to
+        # same-node candidates — necessary on repetitive scenes.
+        obs2 = m.kf_obs[k2]
+        ok2 = m.kf_feat_valid[k2] & (obs2 >= 0)
+        res = matching.match_nodes(
+            desc_a=m.kf_desc[k1],
+            nodes_a=self.db.groups[kf_id],
+            valid_a=m.kf_feat_valid[k1] & (m.kf_obs[k1] >= 0),
+            feats_b=_feats_of(m, k2),
+            nodes_b=self.db.groups[cand],
+            max_dist=cfg.th_low,
+            nn_ratio=0.75,
+            angles_a=m.kf_angle[k1],
+        )
+        # correspondences: feature i of kf1 (point p1) <-> feature res.idx[i]
+        # of kf2 (point p2)
+        p1 = m.kf_obs[k1]
+        p2 = obs2[res.idx]
+        pmax = cfg.max_points
+        pair_ok = (
+            res.ok
+            & (p1 >= 0) & (p2 >= 0)
+            & m.pt_valid[jnp.clip(p1, 0, pmax - 1)]
+            & m.pt_valid[jnp.clip(p2, 0, pmax - 1)]
+        )
+        if int(jnp.sum(pair_ok)) < C.LOOP_MIN_MATCHES_BOW:
+            return False, None
+        X1w = m.pt_pos[jnp.clip(p1, 0, pmax - 1)]
+        X2w = m.pt_pos[jnp.clip(p2, 0, pmax - 1)]
+        T1 = m.kf_pose[k1]
+        T2 = m.kf_pose[k2]
+        Xc1 = geo.transform_points(T1, X1w)
+        Xc2 = geo.transform_points(T2, X2w)
+        uv1 = m.kf_xy[k1]
+        uv2 = m.kf_xy[k2][res.idx]
+        sigma2 = jnp.asarray(
+            [cfg.scale_factor ** (2 * l) for l in range(cfg.n_levels)]
+        )
+        fix_scale = cfg.sensor != MONOCULAR
+        rres = ransac.sim3_ransac(
+            Xc1, Xc2, uv1, uv2,
+            m.kf_octave[k1], m.kf_octave[k2][res.idx],
+            pair_ok, sigma2, cfg.K, cfg.K,
+            fix_scale=fix_scale,
+        )
+        if not bool(rres.ok):
+            return False, None
+        inv_s2_1 = 1.0 / sigma2[jnp.clip(m.kf_octave[k1], 0, cfg.n_levels - 1)]
+        inv_s2_2 = 1.0 / sigma2[
+            jnp.clip(m.kf_octave[k2][res.idx], 0, cfg.n_levels - 1)
+        ]
+        ores = optim.sim3_optimize(
+            rres.S12, Xc1, Xc2, uv1, uv2,
+            inv_s2_1, inv_s2_2, pair_ok & rres.inliers,
+            cfg.K, cfg.K, fix_scale=fix_scale,
+        )
+        if int(ores.n_inliers) < C.LOOP_MIN_INLIERS_SIM3:
+            return False, None
+        return True, ores.S12
+
+    # ------------------------------------------------------------------
+    def _correct_loop(self, kf_id: int, cand: int, S12):
+        """CorrectLoop (src/LoopClosing.cc:402-643)."""
+        cfg = self.cfg
+        trk = self.tracker
+        m = trk.map
+        kmax = cfg.max_keyframes
+
+        # corrected Sim3 of the current KF: Scw = S12 * T_cand_w
+        T_cand = m.kf_pose[jnp.asarray(cand)]
+        S_cw_corr = S12 @ T_cand
+        T_cur = m.kf_pose[jnp.asarray(kf_id)]
+
+        # build Sim3 estimates for every KF (scale 1 on their SE3 poses)
+        S0 = m.kf_pose
+        # propagate correction to the current covisibility neighborhood:
+        # S_i_corr = (T_i T_cur^-1) S_cw_corr  (src/LoopClosing.cc:443-474)
+        w = np.asarray(ms.covisibility_weights(m, jnp.asarray(kf_id)))
+        neigh = set(np.where(w >= C.COVIS_MIN_WEIGHT)[0].tolist()) | {kf_id}
+        neigh_mask = np.zeros(kmax, bool)
+        neigh_mask[list(neigh)] = True
+        rel = jnp.einsum(
+            "kij,jl->kil", m.kf_pose, geo.inv_T(T_cur)
+        )  # T_i T_cur^-1
+        S_corr_all = jnp.einsum("kij,jl->kil", rel, S_cw_corr)
+        S_init = jnp.where(
+            jnp.asarray(neigh_mask)[:, None, None], S_corr_all, S0
+        )
+
+        # correct the neighborhood's points before the graph opt
+        # (p_corr = S_corr^-1 * S_old * p), then fuse loop duplicates
+        m = _correct_points(m, jnp.asarray(neigh_mask), S_init)
+        m = m._replace(
+            kf_pose=jnp.where(
+                jnp.asarray(neigh_mask)[:, None, None],
+                _sim3_to_se3(S_init),
+                m.kf_pose,
+            )
+        )
+        trk.map = m
+        for nb in list(neigh)[:5]:
+            m, _ = fuse_into_keyframe(
+                m, jnp.asarray(cand), jnp.asarray(int(nb)), cfg
+            )
+        trk.map = m
+
+        # essential graph: spanning tree + strong covis + the new loop edge
+        ei, ej, Sji, valid_edges = _essential_edges(
+            m, trk.n_kfs, kf_id, cand, S12
+        )
+        res = optim.essential_graph_optimize(
+            m.kf_pose,
+            m.kf_valid,
+            jnp.asarray(np.arange(kmax) == cand),
+            ei, ej, Sji, valid_edges,
+            fix_scale=cfg.sensor != MONOCULAR,
+        )
+        # recover SE3 poses (t /= s) and remap points via their reference KF
+        S_new = res.S
+        m = _remap_points_after_graph(m, S_new)
+        m = m._replace(kf_pose=jnp.where(
+            m.kf_valid[:, None, None], _sim3_to_se3(S_new), m.kf_pose
+        ))
+        trk.map = m
+        # keep the tracker's host mirrors consistent
+        trk.last_Tcw = np.asarray(m.kf_pose[jnp.asarray(kf_id)])
+        trk.velocity = None
+
+
+def _feats_of(m, k):
+    from orb_slam2_comment_tpu.ops.orb import FrameFeatures
+
+    return FrameFeatures(
+        xy=m.kf_xy[k],
+        response=jnp.zeros_like(m.kf_angle[k]),
+        angle=m.kf_angle[k],
+        octave=m.kf_octave[k],
+        desc=m.kf_desc[k],
+        valid=m.kf_feat_valid[k],
+    )
+
+
+def _sim3_to_se3(S):
+    """[K,4,4] Sim3 -> SE3 by dividing translation by scale
+    (src/Optimizer.cc:991-1010 'recover SE3 with t/=s')."""
+    s = geo.sim3_scale(S)
+    R = S[..., :3, :3] / s[..., None, None]
+    t = S[..., :3, 3] / s[..., None]
+    return geo.make_T(R, t)
+
+
+def _correct_points(m, neigh_mask, S_corr):
+    """Transform points of the corrected neighborhood:
+    p' = S_corr_ref^-1 * T_old_ref * p (src/LoopClosing.cc:476-512)."""
+    pmax = m.pt_pos.shape[0]
+    kmax = m.kf_pose.shape[0]
+    ref = jnp.clip(m.pt_ref_kf, 0, kmax - 1)
+    in_neigh = neigh_mask[ref] & m.pt_valid
+    T_old = m.kf_pose[ref]
+    S_new = S_corr[ref]
+    Xc = jnp.einsum("pij,pj->pi", T_old[:, :3, :3], m.pt_pos) + T_old[:, :3, 3]
+    Sinv = geo.inv_T(S_new)
+    Xw = jnp.einsum("pij,pj->pi", Sinv[:, :3, :3], Xc) + Sinv[:, :3, 3]
+    return m._replace(
+        pt_pos=jnp.where(in_neigh[:, None], Xw, m.pt_pos)
+    )
+
+
+def _remap_points_after_graph(m, S_new):
+    """Remap every point through its reference KF's pose change
+    (src/Optimizer.cc:1012-1043)."""
+    kmax = m.kf_pose.shape[0]
+    ref = jnp.clip(m.pt_ref_kf, 0, kmax - 1)
+    T_old = m.kf_pose[ref]
+    Xc = jnp.einsum("pij,pj->pi", T_old[:, :3, :3], m.pt_pos) + T_old[:, :3, 3]
+    Sinv = geo.inv_T(S_new[ref])
+    Xw = jnp.einsum("pij,pj->pi", Sinv[:, :3, :3], Xc) + Sinv[:, :3, 3]
+    return m._replace(pt_pos=jnp.where(m.pt_valid[:, None], Xw, m.pt_pos))
+
+
+def _essential_edges(m, n_kfs, kf_id, cand, S12):
+    """Edge sets of the essential graph (src/Optimizer.cc:851-983):
+    spanning-tree edges, covisibility edges with weight >= 100, and the new
+    loop edge with its measured Sim3."""
+    edges = []
+    poses = np.asarray(m.kf_pose)
+    for k in range(n_kfs):
+        p = int(m.kf_parent[k])
+        if p >= 0:
+            rel = poses[k] @ np.linalg.inv(poses[p])
+            edges.append((p, k, rel))
+    # strong covisibility edges
+    for k in range(n_kfs):
+        w = np.asarray(ms.covisibility_weights(m, jnp.asarray(k)))
+        for j in np.where(w >= C.ESSENTIAL_MIN_WEIGHT)[0]:
+            if j > k:
+                rel = poses[j] @ np.linalg.inv(poses[k])
+                edges.append((k, int(j), rel))
+    # loop edge: with S12 mapping cand-camera to cur-camera coords, the
+    # measured relative Sim3 is exactly S_ji = S_cur_w S_cand_w^-1 = S12
+    S12n = np.asarray(S12)
+    edges.append((cand, kf_id, S12n))
+    E = len(edges)
+    # pad to a multiple of 64 so the jitted pose-graph solver doesn't
+    # recompile for every distinct edge count
+    E_pad = -(-E // 64) * 64
+    ei = np.zeros(E_pad, np.int32)
+    ej = np.zeros(E_pad, np.int32)
+    Sji = np.tile(np.eye(4, dtype=np.float32), (E_pad, 1, 1))
+    ok = np.zeros(E_pad, bool)
+    for i, (a, b, rel) in enumerate(edges):
+        ei[i], ej[i], Sji[i], ok[i] = a, b, rel.astype(np.float32), True
+    return jnp.asarray(ei), jnp.asarray(ej), jnp.asarray(Sji), jnp.asarray(ok)

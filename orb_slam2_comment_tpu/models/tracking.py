@@ -102,7 +102,7 @@ def _match_against_points(
         feats=feats,
         radius=radius,
         scale_factors=jnp.asarray(cfg.orb.scales),
-        max_dist=float(C.TH_HIGH),
+        max_dist=cfg.th_high,
         nn_ratio=0.8,
     )
     n = feats.xy.shape[0]
@@ -313,7 +313,7 @@ def _match_ref_kf(m: ms.MapState, ref_kf: jax.Array, feats, cfg: SlamConfig):
     dist = matching.hamming_from_packed(kf_desc, feats.desc)
     mask = kf_ok[:, None] & feats.valid[None, :]
     res = matching.match_generic(
-        dist, mask, float(C.TH_LOW), nn_ratio=0.7, mutual=True,
+        dist, mask, cfg.th_low, nn_ratio=0.7, mutual=True,
         angles_a=m.kf_angle[ref_kf], angles_b=feats.angle,
     )
     n = feats.xy.shape[0]
@@ -353,6 +353,7 @@ class Tracker:
         self.last_kf_frame_id = -1
         self.frames_since_reloc = 1 << 30
         self.new_kf_callbacks = []   # local-mapping hook
+        self.reloc_fn = None         # relocalization hook (set by System)
         self.n_last_inliers = 0
 
     def _n_slots(self):
@@ -364,10 +365,16 @@ class Tracker:
         cfg = self.cfg
         if self.state in (NO_IMAGES_YET, NOT_INITIALIZED):
             if cfg.sensor == MONOCULAR:
-                raise RuntimeError(
-                    "monocular init handled by models.initializer via System"
-                )
-            ok = self._stereo_initialization(frame)
+                # MonocularInitialization (src/Tracking.cc:563-737)
+                if not hasattr(self, "mono_init") or self.mono_init is None:
+                    from orb_slam2_comment_tpu.models.initializer import (
+                        MonocularInitializer,
+                    )
+
+                    self.mono_init = MonocularInitializer(cfg)
+                ok = self.mono_init.try_initialize(self, frame)
+            else:
+                ok = self._stereo_initialization(frame)
             self.state = OK if ok else NOT_INITIALIZED
             return TrackOutput(
                 state=self.state,
@@ -382,10 +389,18 @@ class Tracker:
         tracked = False
         if self.state == OK:
             tracked, n_inliers = self._track_frame(frame)
-        if self.state == LOST or not tracked:
-            # relocalization hooks in via System once the BoW database
-            # lands; until then a lost track stays lost (reference behavior
-            # without reloc candidates, Tracking.cc:436-448)
+        if (self.state == LOST or not tracked) and self.reloc_fn is not None:
+            # Relocalization (Tracking.cc:436-448 -> Relocalization:1341)
+            ok, Tcw, assoc = self.reloc_fn(frame)
+            if ok:
+                frame.Tcw = Tcw
+                frame.assoc = assoc
+                self.velocity = None
+                self.frames_since_reloc = 0
+                self.last_Tcw = np.asarray(Tcw)
+                n_inliers = self._track_local_map(frame)
+                tracked = n_inliers >= C.TRACK_LOCAL_MAP_MIN_INLIERS
+        if not tracked:
             self.state = LOST
             return TrackOutput(LOST, None, 0, False, ref_kf=self.ref_kf)
 

@@ -562,3 +562,184 @@ def essential_graph_optimize(
     cost0 = total_cost(S0)
     S, _, cost = jax.lax.fori_loop(0, iters, gn_body, (S0, jnp.asarray(1e-4), cost0))
     return PoseGraphResult(S=S, cost=cost)
+
+
+# ---------------------------------------------------------------------------
+# Global BA: matrix-free Schur + preconditioned CG (scales past the dense
+# window; also the computational core of distributed BA, parallel.dist_ba)
+# ---------------------------------------------------------------------------
+
+def _assemble_blocks(prob: BAProblem, cam_T, pts, obs_ok, inv_sigma2_levels,
+                     K, bf, robust: bool):
+    """Per-observation residuals, Jacobians and the block pieces of the
+    normal equations. Everything here is segment-sum shaped: when the
+    observation arrays are sharded across devices, XLA turns the
+    scatter-adds into psums — this is the distributed-BA communication
+    pattern (SURVEY.md §2c TPU-native equivalent)."""
+    Nc, Np = cam_T.shape[0], pts.shape[0]
+    delta = jnp.where(prob.obs_stereo, C.HUBER_STEREO, C.HUBER_MONO)
+    T_o = cam_T[prob.obs_cam]
+    X_o = pts[prob.obs_pt]
+    r, Jc, Jp, depth = jax.vmap(
+        _edge_jacobians, in_axes=(0, 0, 0, None, None)
+    )(T_o, X_o, prob.obs_uvr, K, bf)
+    inv_s2, comp = _edge_weights(
+        prob.obs_oct, prob.obs_stereo, obs_ok, inv_sigma2_levels
+    )
+    chi2 = _edge_chi2(r, inv_s2, comp)
+    hw = jnp.where(robust, geo.huber_weight(chi2, delta), 1.0)
+    cam_free = (~prob.cam_fixed) & prob.cam_valid
+    Jc = Jc * cam_free[prob.obs_cam, None, None]
+    w = (inv_s2 * hw)[:, None] * comp
+    JcW = Jc * w[:, :, None]
+    JpW = Jp * w[:, :, None]
+    Hcc = jnp.zeros((Nc, 6, 6)).at[prob.obs_cam].add(
+        jnp.einsum("oki,okj->oij", JcW, Jc)
+    )
+    bc = jnp.zeros((Nc, 6)).at[prob.obs_cam].add(
+        -jnp.einsum("oki,ok->oi", JcW, r)
+    )
+    Hpp = jnp.zeros((Np, 3, 3)).at[prob.obs_pt].add(
+        jnp.einsum("oki,okj->oij", JpW, Jp)
+    )
+    bp = jnp.zeros((Np, 3)).at[prob.obs_pt].add(
+        -jnp.einsum("oki,ok->oi", JpW, r)
+    )
+    A = jnp.einsum("oki,okj->oij", JcW, Jp)  # [O, 6, 3] cam-point coupling
+    return Hcc, bc, Hpp, bp, A, cam_free
+
+
+def _gba_cost(prob: BAProblem, cam_T, pts, obs_ok, inv_sigma2_levels, K, bf,
+              robust: bool):
+    T_o = cam_T[prob.obs_cam]
+    X_o = pts[prob.obs_pt]
+    r, _ = jax.vmap(_residual_unified, in_axes=(0, 0, 0, None, None))(
+        T_o, X_o, prob.obs_uvr, K, bf
+    )
+    inv_s2, comp = _edge_weights(
+        prob.obs_oct, prob.obs_stereo, obs_ok, inv_sigma2_levels
+    )
+    chi2 = _edge_chi2(r, inv_s2, comp)
+    delta = jnp.where(prob.obs_stereo, C.HUBER_STEREO, C.HUBER_MONO)
+    d2 = delta * delta
+    rho = jnp.where(
+        chi2 <= d2, chi2,
+        2.0 * delta * jnp.sqrt(jnp.maximum(chi2, 1e-12)) - d2,
+    )
+    return jnp.sum(jnp.where(robust, rho, chi2))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("K", "bf", "iters", "cg_iters", "robust_iters")
+)
+def global_bundle_adjustment(
+    prob: BAProblem,
+    inv_sigma2_levels: jax.Array,
+    K: tuple,
+    bf: float,
+    iters: int = C.GBA_ITERS,
+    cg_iters: int = 40,
+    robust_iters: int = 5,
+) -> BAResult:
+    """Full-map BA (Optimizer::GlobalBundleAdjustemnt/BundleAdjustment,
+    src/Optimizer.cc:41-237) without materializing the camera-point
+    coupling grid: the reduced camera system S = Hcc - E Hpp^-1 E^T is
+    applied matrix-free inside a block-Jacobi preconditioned CG. Memory is
+    O(observations), so this path scales to every keyframe/point in the
+    map (and to multiple devices by sharding the observation axis)."""
+    Nc, Np = prob.cam_T.shape[0], prob.pts.shape[0]
+
+    def lm_step(carry, it):
+        cam_T, pts, lam, cost, obs_ok = carry
+        robust = it < robust_iters
+        Hcc, bc, Hpp, bp, A, cam_free = _assemble_blocks(
+            prob, cam_T, pts, obs_ok, inv_sigma2_levels, K, bf, robust
+        )
+        Hcc_d = Hcc + lam * jnp.eye(6) * jnp.maximum(
+            jnp.einsum("cii->c", Hcc)[:, None, None] / 6.0, 1e-6
+        )
+        Hcc_d = jnp.where(cam_free[:, None, None], Hcc_d, jnp.eye(6))
+        bc = jnp.where(cam_free[:, None], bc, 0.0)
+        Hpp_d = Hpp + lam * jnp.eye(3) * jnp.maximum(
+            jnp.einsum("pii->p", Hpp)[:, None, None] / 3.0, 1e-6
+        )
+        Hpp_inv = _inv33(Hpp_d)
+
+        def schur_matvec(x):
+            """x [Nc,6] -> (Hcc_d - E Hpp^-1 E^T) x via per-obs ops."""
+            y = jnp.einsum("cij,cj->ci", Hcc_d, x)
+            u = jnp.einsum("oij,oi->oj", A, x[prob.obs_cam])        # [O,3]
+            sp = jnp.zeros((Np, 3)).at[prob.obs_pt].add(u)
+            v = jnp.einsum("pij,pj->pi", Hpp_inv, sp)
+            wv = jnp.einsum("oij,oj->oi", A, v[prob.obs_pt])        # [O,6]
+            y = y - jnp.zeros((Nc, 6)).at[prob.obs_cam].add(wv)
+            return jnp.where(cam_free[:, None], y, x)
+
+        # rhs = bc - E Hpp^-1 bp
+        v0 = jnp.einsum("pij,pj->pi", Hpp_inv, bp)
+        rhs = bc - jnp.zeros((Nc, 6)).at[prob.obs_cam].add(
+            jnp.einsum("oij,oj->oi", A, v0[prob.obs_pt])
+        )
+        rhs = jnp.where(cam_free[:, None], rhs, 0.0)
+
+        # block-Jacobi preconditioner
+        Minv = jnp.linalg.inv(Hcc_d + 1e-8 * jnp.eye(6))
+
+        def precond(r_):
+            return jnp.einsum("cij,cj->ci", Minv, r_)
+
+        def cg_body(_, s):
+            x, r_, p, rz = s
+            Ap = schur_matvec(p)
+            denom = jnp.sum(p * Ap)
+            alpha = rz / jnp.where(jnp.abs(denom) < 1e-20, 1e-20, denom)
+            x = x + alpha * p
+            r_ = r_ - alpha * Ap
+            z = precond(r_)
+            rz_new = jnp.sum(r_ * z)
+            beta = rz_new / jnp.where(jnp.abs(rz) < 1e-20, 1e-20, rz)
+            p = z + beta * p
+            return (x, r_, p, rz_new)
+
+        x0 = jnp.zeros((Nc, 6))
+        z0 = precond(rhs)
+        dc = jax.lax.fori_loop(
+            0, cg_iters, cg_body, (x0, rhs, z0, jnp.sum(rhs * z0))
+        )[0]
+        # back-substitute points
+        u = jnp.einsum("oij,oi->oj", A, dc[prob.obs_cam])
+        sp = jnp.zeros((Np, 3)).at[prob.obs_pt].add(u)
+        dp = jnp.einsum("pij,pj->pi", Hpp_inv, bp - sp)
+
+        cam_T_new = jax.vmap(lambda d, T: geo.se3_exp(d) @ T)(dc, cam_T)
+        cam_T_new = jnp.where(cam_free[:, None, None], cam_T_new, cam_T)
+        pts_new = jnp.where(prob.pt_valid[:, None], pts + dp, pts)
+        new_cost = _gba_cost(
+            prob, cam_T_new, pts_new, obs_ok, inv_sigma2_levels, K, bf, robust
+        )
+        accept = new_cost < cost
+        cam_T = jnp.where(accept, cam_T_new, cam_T)
+        pts = jnp.where(accept, pts_new, pts)
+        lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-9),
+                        jnp.minimum(lam * 4.0, 1e6))
+        cost = jnp.where(accept, new_cost, cost)
+        return (cam_T, pts, lam, cost, obs_ok), None
+
+    cost0 = _gba_cost(
+        prob, prob.cam_T, prob.pts, prob.obs_valid, inv_sigma2_levels, K, bf, True
+    )
+    carry = (prob.cam_T, prob.pts, jnp.asarray(1e-4), cost0, prob.obs_valid)
+    carry, _ = jax.lax.scan(lm_step, carry, jnp.arange(iters))
+    cam_T, pts, lam, cost, obs_ok = carry
+
+    chi2_th = jnp.where(prob.obs_stereo, C.CHI2_STEREO, C.CHI2_MONO)
+    T_o, X_o = cam_T[prob.obs_cam], pts[prob.obs_pt]
+    r, depth = jax.vmap(_residual_unified, in_axes=(0, 0, 0, None, None))(
+        T_o, X_o, prob.obs_uvr, K, bf
+    )
+    inv_s2, comp = _edge_weights(
+        prob.obs_oct, prob.obs_stereo, prob.obs_valid, inv_sigma2_levels
+    )
+    chi2 = _edge_chi2(r, inv_s2, comp)
+    inlier = prob.obs_valid & (chi2 <= chi2_th) & (depth > 0)
+    return BAResult(cam_T=cam_T, pts=pts, obs_inlier=inlier, cost=cost)

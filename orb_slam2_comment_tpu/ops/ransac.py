@@ -63,53 +63,78 @@ def pnp_ransac(
     n = Xw.shape[0]
     key = jax.random.PRNGKey(seed)
     idx = _sample_indices(key, n_hyp, set_size, n, valid)  # [H, S]
-    Xs = Xw[idx]                      # [H, S, 3]
-    us = uv[idx]                      # [H, S, 2]
-    # normalized image coords
-    xn = (us[..., 0] - cx) / fx
-    yn = (us[..., 1] - cy) / fy
 
-    # DLT rows: for each corr, two rows of A [2S, 12]
-    Xh = jnp.concatenate([Xs, jnp.ones_like(Xs[..., :1])], axis=-1)  # [H,S,4]
-    z4 = jnp.zeros_like(Xh)
-    r1 = jnp.concatenate([Xh, z4, -xn[..., None] * Xh], axis=-1)     # [H,S,12]
-    r2 = jnp.concatenate([z4, Xh, -yn[..., None] * Xh], axis=-1)
-    A = jnp.concatenate([r1, r2], axis=1)                            # [H,2S,12]
-    AtA = jnp.einsum("hki,hkj->hij", A, A)
-    _, vecs = jnp.linalg.eigh(AtA)
-    p = vecs[..., 0]                                                 # [H,12]
-    P = p.reshape(-1, 3, 4)
-    M = P[:, :, :3]
-    # orthonormalize: M = s R  ->  R from SVD
-    U, S, Vt = jnp.linalg.svd(M)
-    R = U @ Vt
-    detR = jnp.linalg.det(R)
-    # fix improper rotations
-    Vt_fix = Vt.at[:, 2, :].multiply(jnp.sign(detR)[:, None])
-    R = U @ Vt_fix
-    s = jnp.mean(S, axis=-1) * jnp.sign(detR)
-    t = P[:, :, 3] / jnp.where(jnp.abs(s) < 1e-12, 1e-12, s)[:, None]
-    # cheirality: majority of sample points must be in front
-    Xc_s = jnp.einsum("hij,hsj->hsi", R, Xs) + t[:, None, :]
-    front = jnp.mean((Xc_s[..., 2] > 0).astype(jnp.float32), axis=1)
-    flip = front < 0.5
-    R = jnp.where(flip[:, None, None], -R * jnp.array([1.0]), R)  # placeholder no-op
-    # score all hypotheses on all points
-    Xc = jnp.einsum("hij,nj->hni", R, Xw) + t[:, None, :]
-    pu = fx * Xc[..., 0] / jnp.maximum(Xc[..., 2], 1e-9) + cx
-    pv = fy * Xc[..., 1] / jnp.maximum(Xc[..., 2], 1e-9) + cy
-    du = pu - uv[None, :, 0]
-    dv = pv - uv[None, :, 1]
-    s2 = sigma2_levels[jnp.clip(octave, 0, sigma2_levels.shape[0] - 1)]
-    chi2 = (du * du + dv * dv) / s2[None, :]
-    inl = (chi2 < 5.991) & (Xc[..., 2] > 0) & valid[None, :]
-    scores = jnp.sum(inl, axis=1)
+    def dlt_poses(Xs, us, wgt):
+        """Weighted DLT -> (R, t) per hypothesis, both null-vector signs.
+
+        Xs [H,S,3], us [H,S,2], wgt [H,S] row weights. Hartley-normalizes
+        the 3D points per hypothesis for conditioning.
+        """
+        wsum = jnp.maximum(jnp.sum(wgt, axis=1, keepdims=True), 1e-9)
+        mu = jnp.sum(Xs * wgt[..., None], axis=1, keepdims=True) / wsum[..., None]
+        Xc_ = Xs - mu
+        scale = jnp.sqrt(
+            jnp.sum(jnp.sum(Xc_ * Xc_, -1) * wgt, axis=1) / wsum[:, 0]
+        )
+        scale = jnp.maximum(scale, 1e-6)
+        Xn = Xc_ / scale[:, None, None]
+        xn = (us[..., 0] - cx) / fx
+        yn = (us[..., 1] - cy) / fy
+        Xh = jnp.concatenate([Xn, jnp.ones_like(Xn[..., :1])], axis=-1)
+        z4 = jnp.zeros_like(Xh)
+        r1 = jnp.concatenate([Xh, z4, -xn[..., None] * Xh], axis=-1)
+        r2 = jnp.concatenate([z4, Xh, -yn[..., None] * Xh], axis=-1)
+        A = jnp.concatenate([r1, r2], axis=1) * jnp.concatenate(
+            [wgt, wgt], axis=1
+        )[..., None] ** 0.5
+        AtA = jnp.einsum("hki,hkj->hij", A, A)
+        _, vecs = jnp.linalg.eigh(AtA)
+        P = vecs[..., 0].reshape(-1, 3, 4)
+        P = jnp.concatenate([P, -P], axis=0)  # null-vector sign ambiguity
+        M = P[:, :, :3]
+        U, S, Vt = jnp.linalg.svd(M)
+        detUV = jnp.linalg.det(U @ Vt)
+        Vt_fix = Vt.at[:, 2, :].multiply(jnp.sign(detUV)[:, None])
+        R = U @ Vt_fix
+        s = jnp.maximum(jnp.mean(S, axis=-1), 1e-12)
+        t_n = P[:, :, 3] / s[:, None]
+        # denormalize: Xn = (X - mu)/scale  =>  t = t_n*scale... careful:
+        # x ~ R Xn + t_n = R (X-mu)/scale + t_n  =>  full pose acting on X is
+        # (R, scale*t_n - R mu) up to projective scale*  — projection is
+        # scale-invariant, so use Xc = R(X-mu) + scale*t_n.
+        mu2 = jnp.concatenate([mu[:, 0], mu[:, 0]], axis=0)
+        scale2 = jnp.concatenate([scale, scale], axis=0)
+        t = scale2[:, None] * t_n - jnp.einsum("hij,hj->hi", R, mu2)
+        return R, t
+
+    def score(R, t):
+        Xc = jnp.einsum("hij,nj->hni", R, Xw) + t[:, None, :]
+        pu = fx * Xc[..., 0] / jnp.maximum(Xc[..., 2], 1e-9) + cx
+        pv = fy * Xc[..., 1] / jnp.maximum(Xc[..., 2], 1e-9) + cy
+        du = pu - uv[None, :, 0]
+        dv = pv - uv[None, :, 1]
+        s2 = sigma2_levels[jnp.clip(octave, 0, sigma2_levels.shape[0] - 1)]
+        chi2 = (du * du + dv * dv) / s2[None, :]
+        inl = (chi2 < 5.991) & (Xc[..., 2] > 0) & valid[None, :]
+        return inl, jnp.sum(inl, axis=1)
+
+    R, t = dlt_poses(Xw[idx], uv[idx], jnp.ones(idx.shape))
+    inl, scores = score(R, t)
     best = jnp.argmax(scores)
-    Tbest = geo.make_T(R[best], t[best])
-    n_inl = scores[best]
+
+    # refine on the best hypothesis' full inlier set (PnPsolver::Refine)
+    w_ref = inl[best].astype(jnp.float32)
+    R2, t2 = dlt_poses(Xw[None], uv[None], w_ref[None])
+    inl2, scores2 = score(R2, t2)
+    best2 = jnp.argmax(scores2)
+    use_refined = scores2[best2] >= scores[best]
+    R_f = jnp.where(use_refined, R2[best2], R[best])
+    t_f = jnp.where(use_refined, t2[best2], t[best])
+    inl_f = jnp.where(use_refined, inl2[best2], inl[best])
+    n_inl = jnp.where(use_refined, scores2[best2], scores[best])
     return PnPResult(
-        Tcw=Tbest,
-        inliers=inl[best],
+        Tcw=geo.make_T(R_f, t_f),
+        inliers=inl_f,
         n_inliers=n_inl,
         ok=n_inl >= 10,
     )

@@ -38,7 +38,7 @@ def _gather_patch_rows(img, yc, xc, half, width):
     return img[yy, xx]
 
 
-@functools.partial(jax.jit, static_argnames=("scale_factors", "bf", "min_z", "n_levels"))
+@functools.partial(jax.jit, static_argnames=("scale_factors", "bf", "min_z", "n_levels", "th_stereo"))
 def stereo_match(
     feats_l,
     feats_r,
@@ -48,6 +48,7 @@ def stereo_match(
     bf: float,
     min_z: float,
     n_levels: int = C.DEFAULT_N_LEVELS,
+    th_stereo: float = float(C.TH_STEREO),
 ):
     """Returns (u_right [N], depth [N]) for left features; -1 where unmatched.
 
@@ -74,7 +75,7 @@ def stereo_match(
     dist = jnp.where(mask, hamming_from_packed(feats_l.desc, feats_r.desc), _INF)
     best = jnp.argmin(dist, axis=1)
     best_d = jnp.take_along_axis(dist, best[:, None], axis=1)[:, 0]
-    matched = best_d < C.TH_STEREO
+    matched = best_d < th_stereo
 
     # --- SAD subpixel refinement at the left keypoint's level ------------
     # (src/Frame.cc:527-621). We slide the right window +-L around the

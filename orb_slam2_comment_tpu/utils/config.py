@@ -52,6 +52,28 @@ class SlamConfig:
     enable_local_ba: bool = True
     enable_loop_closing: bool = True
     localization_only: bool = False
+    # Hamming acceptance scaling: 1.0 reproduces the reference thresholds
+    # (TH_LOW=50/TH_HIGH=100, ORBmatcher.cc:37-38), tuned for real-image
+    # ORB stability. Synthetic scenes with noisier descriptors run at
+    # 1.4-1.6.
+    match_th_scale: float = 1.0
+
+    @property
+    def th_low(self):
+        """Strict acceptance, scaled but capped well below the ~128-bit
+        random-descriptor mean (beyond which the gate is meaningless)."""
+        from orb_slam2_comment_tpu import constants as _C
+
+        return min(float(_C.TH_LOW) * self.match_th_scale, 100.0)
+
+    @property
+    def th_high(self):
+        """Loose acceptance: intentionally NOT scaled — TH_HIGH=100 already
+        absorbs viewpoint drift, and raising it past the random mean lets
+        garbage associations poison pose optimization."""
+        from orb_slam2_comment_tpu import constants as _C
+
+        return float(_C.TH_HIGH)
 
     @property
     def K(self):

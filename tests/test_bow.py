@@ -1,0 +1,81 @@
+"""Vocabulary training / transform / scoring tests."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from orb_slam2_comment_tpu.ops import bow, orb
+from orb_slam2_comment_tpu.utils import synthetic as syn
+
+
+def _corpus(n_imgs=4, seed=0):
+    scene = syn.make_scene(n_points=800, seed=seed)
+    cfg = orb.ORBConfig(n_features=500, n_levels=3)
+    descs = []
+    feats_list = []
+    for i in range(n_imgs):
+        T = np.eye(4, dtype=np.float32)
+        T[:3, 3] = [0.3 * i, 0.0, 0.2 * i]
+        img = syn.render(scene, T, syn.DEFAULT_K, syn.DEFAULT_HW, seed=10 + i)
+        f, _ = orb.extract(jnp.asarray(img), cfg)
+        v = np.asarray(f.valid)
+        descs.append(np.asarray(f.desc)[v])
+        feats_list.append(f)
+    return np.concatenate(descs), feats_list
+
+
+class TestVocabulary:
+    def test_train_and_transform(self):
+        corpus, feats = _corpus()
+        voc = bow.train_vocabulary(corpus, k=8, depth=3, seed=0)
+        assert voc.n_words > 50
+        f = feats[0]
+        words, group, vec = bow.transform(voc, f.desc, f.valid)
+        words = np.asarray(words)
+        v = np.asarray(f.valid)
+        assert (words[v] >= 0).all()
+        assert (words[~v] == -1).all()
+        # BoW vector is L1-normalized
+        assert abs(float(jnp.sum(jnp.abs(vec))) - 1.0) < 1e-4
+
+    def test_same_image_high_score(self):
+        corpus, feats = _corpus()
+        voc = bow.train_vocabulary(corpus, k=8, depth=3, seed=0)
+        vecs = [bow.transform(voc, f.desc, f.valid)[2] for f in feats]
+        self_score = float(bow.l1_score(vecs[0], vecs[0]))
+        near_score = float(bow.l1_score(vecs[0], vecs[1]))  # overlapping view
+        far_score = float(bow.l1_score(vecs[0], vecs[3]))
+        assert self_score > 0.999
+        assert near_score > far_score, (near_score, far_score)
+
+    def test_save_load_roundtrip(self, tmp_path):
+        corpus, feats = _corpus(n_imgs=2)
+        voc = bow.train_vocabulary(corpus, k=5, depth=2, seed=1)
+        p = str(tmp_path / "voc.npz")
+        bow.save_vocabulary(p, voc)
+        voc2 = bow.load_vocabulary(p)
+        f = feats[0]
+        w1, g1, v1 = bow.transform(voc, f.desc, f.valid)
+        w2, g2, v2 = bow.transform(voc2, f.desc, f.valid)
+        np.testing.assert_array_equal(np.asarray(w1), np.asarray(w2))
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(v2))
+
+    def test_pack_consistency(self):
+        """numpy and device bit orders must agree."""
+        r = np.random.default_rng(0)
+        desc = r.integers(0, 2**32, (5, 8), dtype=np.uint32)
+        nb = bow.np_unpack_bits(desc)
+        db = np.asarray(orb.unpack_descriptors_signed(jnp.asarray(desc), jnp.float32))
+        np.testing.assert_array_equal(nb, (db > 0).astype(np.uint8))
+        np.testing.assert_array_equal(bow.np_pack_bits(nb), desc)
+
+    def test_group_ids_shared_for_similar_descriptors(self):
+        corpus, feats = _corpus(n_imgs=2)
+        voc = bow.train_vocabulary(corpus, k=8, depth=3, seed=0)
+        f = feats[0]
+        words, group, _ = bow.transform(voc, f.desc, f.valid)
+        # identical descriptors must land in identical words/groups
+        words2, group2, _ = bow.transform(voc, f.desc, f.valid)
+        np.testing.assert_array_equal(np.asarray(words), np.asarray(words2))
+        g = np.asarray(group)[np.asarray(f.valid)]
+        # groups should be a coarser partition than words
+        assert len(np.unique(g)) <= voc.n_words

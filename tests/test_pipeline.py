@@ -24,6 +24,7 @@ def _cfg(sensor):
         n_levels=4,
         max_keyframes=32,
         max_points=8192,
+        match_th_scale=1.5,
     )
 
 
