@@ -153,6 +153,14 @@ def cull_points(m: ms.MapState, current_kf: jax.Array) -> ms.MapState:
     )
 
 
+@jax.jit
+def cull_orphans(m: ms.MapState) -> ms.MapState:
+    """Invalidate points left with zero observations (after BA outlier
+    erasure or fusion) — MapPoint::EraseObservation's auto-bad path."""
+    obs = ms.point_observation_counts(m)
+    return m._replace(pt_valid=m.pt_valid & (obs > 0))
+
+
 # ---------------------------------------------------------------------------
 # 3. triangulation of new points
 # ---------------------------------------------------------------------------
@@ -522,5 +530,6 @@ class LocalMapper:
                 prob, _inv_sigma2(cfg), cfg.K, cfg.bf
             )
             m = scatter_ba_result(m, res, prob, cam_ids, pt_ids)
+            m = cull_orphans(m)
 
         trk.map = m
