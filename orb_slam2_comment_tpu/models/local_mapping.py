@@ -173,6 +173,7 @@ def triangulate_with_neighbor(
     pt_base: jax.Array,
     cfg: SlamConfig,
     max_new: int = TRI_MAX_NEW,
+    enabled=True,
 ):
     """CreateNewMapPoints vs one neighbor (src/LocalMapping.cc:207-451):
     epipolar-constrained matching of unmatched features, linear
@@ -199,7 +200,7 @@ def triangulate_with_neighbor(
         max_dist=cfg.th_low, check_rotation=False,
     )
     idx2 = res.idx
-    ok = res.ok & enough_baseline
+    ok = res.ok & enough_baseline & jnp.asarray(enabled)
 
     fx, fy, cx, cy = cfg.K
     Km = jnp.asarray([[fx, 0, cx], [0, fy, cy], [0, 0, 1]])
@@ -288,6 +289,7 @@ def fuse_into_keyframe(
     src_kf: jax.Array,
     dst_kf: jax.Array,
     cfg: SlamConfig,
+    enabled=True,
 ):
     """Project src_kf's points into dst_kf; matched features either gain
     the observation or trigger a duplicate merge keeping the
@@ -329,7 +331,7 @@ def fuse_into_keyframe(
     existing = dst_obs[tgt_feat]             # point currently on that feature
     src_pt = pt_ids
     has_existing = (existing >= 0) & m.pt_valid[jnp.clip(existing, 0, pmax - 1)]
-    do = res.ok & okp & (src_pt != existing)
+    do = res.ok & okp & (src_pt != existing) & jnp.asarray(enabled)
 
     # case A: feature free -> add observation
     addA = do & ~has_existing
@@ -478,8 +480,51 @@ def scatter_ba_result(
 
 
 # ---------------------------------------------------------------------------
-# host driver
+# fused mapper kernel + host driver
 # ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
+def _mapper_kernel(m: ms.MapState, kf_id: jax.Array, pt_base: jax.Array,
+                   cfg: SlamConfig):
+    """One device program for the whole LocalMapping pass (the reference's
+    Run-loop body, src/LocalMapping.cc:47-112): culling, triangulation and
+    fusion scanned over the top covisible neighbors, descriptor/statistics
+    refresh, local BA, orphan sweep. No host round-trips; returns the new
+    map and the advanced point-slot cursor."""
+    m = cull_points(m, kf_id)
+    w = ms.covisibility_weights(m, kf_id)
+    nbw, nbi = jax.lax.top_k(w, N_TRI_NEIGHBORS)
+
+    def tri_body(carry, i):
+        m, base = carry
+        en = (nbw[i] >= C.COVIS_MIN_WEIGHT) & (kf_id > 0)
+        m, n_new = triangulate_with_neighbor(
+            m, kf_id, nbi[i], base, cfg, enabled=en
+        )
+        return (m, base + n_new.astype(base.dtype)), None
+
+    (m, new_base), _ = jax.lax.scan(
+        tri_body, (m, pt_base), jnp.arange(N_TRI_NEIGHBORS)
+    )
+
+    def fuse_body(m, i):
+        en = (nbw[i] >= C.COVIS_MIN_WEIGHT) & (kf_id > 0)
+        m, _ = fuse_into_keyframe(m, kf_id, nbi[i], cfg, enabled=en)
+        m, _ = fuse_into_keyframe(m, nbi[i], kf_id, cfg, enabled=en)
+        return m, None
+
+    m, _ = jax.lax.scan(fuse_body, m, jnp.arange(N_FUSE_NEIGHBORS))
+
+    m = update_point_descriptors(m)
+    m = ms.update_point_stats(m)
+
+    if cfg.enable_local_ba:
+        prob, cam_ids, pt_ids = build_ba_window(m, kf_id, cfg)
+        res = optim.local_bundle_adjustment(prob, _inv_sigma2(cfg), cfg.K, cfg.bf)
+        m = scatter_ba_result(m, res, prob, cam_ids, pt_ids)
+        m = cull_orphans(m)
+    return m, new_base
+
 
 @dataclass
 class LocalMapper:
@@ -487,49 +532,12 @@ class LocalMapper:
     tracker: "object"  # Tracker (avoids circular import)
 
     def process(self, kf_id: int):
-        cfg = self.cfg
         trk = self.tracker
-        m = trk.map
-
-        m = cull_points(m, jnp.asarray(kf_id, jnp.int32))
-
-        # triangulate vs best covisible neighbors (skip for the very first KF)
-        if kf_id > 0:
-            w = np.asarray(ms.covisibility_weights(m, jnp.asarray(kf_id)))
-            nbrs = np.argsort(-w)[:N_TRI_NEIGHBORS]
-            for nb in nbrs:
-                if w[nb] < C.COVIS_MIN_WEIGHT:
-                    continue
-                m, n_new = triangulate_with_neighbor(
-                    m,
-                    jnp.asarray(kf_id, jnp.int32),
-                    jnp.asarray(int(nb), jnp.int32),
-                    jnp.asarray(trk.n_pts, jnp.int32),
-                    cfg,
-                )
-                trk.n_pts += int(n_new)
-            # two-way fusion with the same neighborhood
-            for nb in nbrs:
-                if w[nb] < C.COVIS_MIN_WEIGHT:
-                    continue
-                m, _ = fuse_into_keyframe(
-                    m, jnp.asarray(kf_id, jnp.int32), jnp.asarray(int(nb), jnp.int32), cfg
-                )
-                m, _ = fuse_into_keyframe(
-                    m, jnp.asarray(int(nb), jnp.int32), jnp.asarray(kf_id, jnp.int32), cfg
-                )
-
-        m = update_point_descriptors(m)
-        m = ms.update_point_stats(m)
-
-        if cfg.enable_local_ba and kf_id > 0:
-            prob, cam_ids, pt_ids = build_ba_window(
-                m, jnp.asarray(kf_id, jnp.int32), cfg
-            )
-            res = optim.local_bundle_adjustment(
-                prob, _inv_sigma2(cfg), cfg.K, cfg.bf
-            )
-            m = scatter_ba_result(m, res, prob, cam_ids, pt_ids)
-            m = cull_orphans(m)
-
+        m, new_base = _mapper_kernel(
+            trk.map,
+            jnp.asarray(kf_id, jnp.int32),
+            trk.n_pts_dev,
+            self.cfg,
+        )
         trk.map = m
+        trk.n_pts_dev = new_base

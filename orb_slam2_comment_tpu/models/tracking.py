@@ -324,6 +324,159 @@ def _match_ref_kf(m: ms.MapState, ref_kf: jax.Array, feats, cfg: SlamConfig):
 
 
 # ---------------------------------------------------------------------------
+# fused per-frame kernel (ONE device program, ONE host pull per frame)
+#
+# Device->host transfers over the TPU attachment cost tens of ms each; the
+# reference's per-frame control flow (motion model -> fallback -> local map
+# -> keyframe policy, src/Tracking.cc:267-506) is therefore evaluated
+# entirely on device with jnp.where selection, and the host reads back a
+# single small stats vector to run the Python state machine.
+# ---------------------------------------------------------------------------
+
+# stats vector layout
+S_TRACKED = 0        # 1.0 if frame tracked
+S_N_INL = 1          # final local-map inliers
+S_USED_MOTION = 2    # 1.0 if the motion-model branch won
+S_NEED_KF = 3        # keyframe policy decision
+S_BEST_LOCAL = 4     # best covisible KF id (new reference KF)
+S_N_MOTION = 5       # motion-model match count
+S_N_REF = 6          # reference-KF match count
+S_TRACKED_CLOSE = 7
+S_NONTRACKED_CLOSE = 8
+S_N_REF_MATCHES = 9  # reference-KF tracked points with >= minObs
+N_STATS = 10
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
+def _track_frame_fused(
+    m: ms.MapState,
+    feats,
+    uright: jax.Array,
+    depth: jax.Array,
+    T_pred: jax.Array,        # motion-model prediction (== T_last if no velocity)
+    T_last: jax.Array,
+    have_velocity: jax.Array,  # scalar bool
+    last_assoc: jax.Array,     # [N] previous frame's point associations
+    ref_kf: jax.Array,         # scalar int32
+    frame_id: jax.Array,
+    last_kf_frame_id: jax.Array,
+    n_kfs: jax.Array,
+    cfg: SlamConfig,
+):
+    """Returns (m', Tcw, assoc, stats[N_STATS] f32).
+
+    Both the motion-model and reference-KF branches are computed
+    unconditionally (each is a fraction of a millisecond of MXU work) and
+    selected by priority, exactly reproducing the reference's fallback
+    order without host round-trips.
+    """
+    th = 7.0 if cfg.sensor != MONOCULAR else 15.0
+
+    # --- branch 1: motion model (TrackWithMotionModel, :867-928) ---------
+    assoc_m1, n_m1, _ = _match_against_points(
+        m, last_assoc, T_pred, feats, uright, jnp.asarray(th), cfg,
+        use_frustum_band=False,
+    )
+    assoc_m2, n_m2, _ = _match_against_points(
+        m, last_assoc, T_pred, feats, uright, jnp.asarray(2.0 * th), cfg,
+        use_frustum_band=False,
+    )
+    use_wide = n_m1 < C.TRACK_MOTION_MIN_MATCHES
+    assoc_m = jnp.where(use_wide, assoc_m2, assoc_m1)
+    n_m = jnp.where(use_wide, n_m2, n_m1)
+    T_m, assoc_m, inl_m = _pose_opt_from_assoc(m, T_pred, feats, uright, assoc_m, cfg)
+    motion_ok = have_velocity & (n_m >= C.TRACK_MOTION_MIN_MATCHES) & (inl_m >= 10)
+
+    # --- branch 2: reference keyframe (TrackReferenceKeyFrame, :757-799) -
+    assoc_r, n_r = _match_ref_kf(m, ref_kf, feats, cfg)
+    T_r, assoc_r, inl_r = _pose_opt_from_assoc(m, T_last, feats, uright, assoc_r, cfg)
+    ref_ok = (n_r >= C.TRACK_REF_KF_MIN_MATCHES) & (inl_r >= 10)
+
+    T1 = jnp.where(motion_ok, T_m, T_r)
+    assoc1 = jnp.where(motion_ok, assoc_m, assoc_r)
+    coarse_ok = motion_ok | ref_ok
+
+    # --- local map (TrackLocalMap, :930-975) ------------------------------
+    kf_ids, pt_ids = _select_local_map(m, assoc1)
+    th_local = 3.0 if cfg.sensor == "rgbd" else 1.0
+    assoc2, n2, visible = _match_against_points(
+        m, pt_ids, T1, feats, uright, jnp.asarray(th_local), cfg,
+    )
+    assoc_merged = jnp.where(assoc1 >= 0, assoc1, assoc2)
+    T_f, assoc_f, inl_f = _pose_opt_from_assoc(m, T1, feats, uright, assoc_merged, cfg)
+    tracked = coarse_ok & (inl_f >= C.TRACK_LOCAL_MAP_MIN_INLIERS)
+
+    Tcw = jnp.where(tracked, T_f, T_last)
+    assoc_out = jnp.where(tracked, assoc_f, -1)
+    m = _update_point_counters(m, pt_ids, visible & tracked, assoc_out)
+
+    # --- keyframe policy (NeedNewKeyFrame, :977-1061) ---------------------
+    best_local = kf_ids[0]
+    ref_for_policy = jnp.where(best_local >= 0, best_local, ref_kf)
+    min_obs = jnp.where(n_kfs <= 2, 2, 3)
+    obs_counts = ms.point_observation_counts(m)
+    ref_obs = m.kf_obs[jnp.clip(ref_for_policy, 0, cfg.max_keyframes - 1)]
+    ref_pid = jnp.clip(ref_obs, 0, cfg.max_points - 1)
+    ref_ok_pts = (ref_obs >= 0) & m.pt_valid[ref_pid]
+    n_ref_matches = jnp.sum(ref_ok_pts & (obs_counts[ref_pid] >= min_obs))
+    if cfg.sensor != MONOCULAR:
+        close = (depth > 0) & (depth < cfg.depth_threshold)
+        tracked_close = jnp.sum((assoc_out >= 0) & close)
+        nontracked_close = jnp.sum((assoc_out < 0) & close & feats.valid)
+        need_close = (tracked_close < 100) & (nontracked_close > 70)
+    else:
+        tracked_close = jnp.asarray(0)
+        nontracked_close = jnp.asarray(0)
+        need_close = jnp.asarray(False)
+    th_ref = 0.9 if cfg.sensor == MONOCULAR else 0.75
+    th_ref_j = jnp.where(n_kfs < 2, 0.4, th_ref)
+    frames_since = frame_id - last_kf_frame_id
+    c1a = frames_since >= cfg.fps
+    c1b = frames_since >= 1
+    c1c = (cfg.sensor != MONOCULAR) & (
+        (inl_f < n_ref_matches * 0.25) | need_close
+    )
+    c2 = ((inl_f < n_ref_matches * th_ref_j) | need_close) & (inl_f > 15)
+    need_kf = (
+        tracked
+        & (c1a | c1b | c1c)
+        & c2
+        & (n_kfs < cfg.max_keyframes - 1)
+        & (not cfg.localization_only)
+    )
+
+    stats = jnp.zeros(N_STATS, jnp.float32)
+    stats = stats.at[S_TRACKED].set(tracked.astype(jnp.float32))
+    stats = stats.at[S_N_INL].set(inl_f.astype(jnp.float32))
+    stats = stats.at[S_USED_MOTION].set(motion_ok.astype(jnp.float32))
+    stats = stats.at[S_NEED_KF].set(need_kf.astype(jnp.float32))
+    stats = stats.at[S_BEST_LOCAL].set(best_local.astype(jnp.float32))
+    stats = stats.at[S_N_MOTION].set(n_m.astype(jnp.float32))
+    stats = stats.at[S_N_REF].set(n_r.astype(jnp.float32))
+    stats = stats.at[S_TRACKED_CLOSE].set(tracked_close.astype(jnp.float32))
+    stats = stats.at[S_NONTRACKED_CLOSE].set(nontracked_close.astype(jnp.float32))
+    stats = stats.at[S_N_REF_MATCHES].set(n_ref_matches.astype(jnp.float32))
+    return m, Tcw, assoc_out, stats
+
+
+@jax.jit
+def _compose_velocity(Tcw, T_last):
+    """velocity = Tcw @ T_last^-1 (Tracking.cc:423-434), device-resident."""
+    return Tcw @ geo.inv_T(T_last)
+
+
+@jax.jit
+def _apply_velocity(velocity, T_last):
+    return velocity @ T_last
+
+
+@jax.jit
+def _relative_to_kf(Tcw, kf_pose):
+    """Tcr for trajectory recovery (Tracking.cc:488-504)."""
+    return Tcw @ geo.inv_T(kf_pose)
+
+
+# ---------------------------------------------------------------------------
 # host-side tracker
 # ---------------------------------------------------------------------------
 
@@ -344,7 +497,10 @@ class Tracker:
         self.cfg = cfg
         self.map = ms.empty_map(cfg.max_keyframes, cfg.max_points, self._n_slots())
         self.n_kfs = 0
-        self.n_pts = 0
+        # the point-slot cursor lives on device so keyframe creation and
+        # mapping never force a host sync (device pulls cost ~10s of ms on
+        # remote-attached TPUs)
+        self.n_pts_dev = jnp.asarray(0, jnp.int32)
         self.state = NO_IMAGES_YET
         self.velocity: Optional[np.ndarray] = None
         self.last_Tcw: Optional[np.ndarray] = None
@@ -359,6 +515,16 @@ class Tracker:
     def _n_slots(self):
         budgets = self.cfg.orb.level_budgets()
         return sum(budgets)
+
+    @property
+    def n_pts(self) -> int:
+        """Host view of the device point counter (forces a sync; for
+        inspection/tests, not the hot loop)."""
+        return int(self.n_pts_dev)
+
+    @n_pts.setter
+    def n_pts(self, v):
+        self.n_pts_dev = jnp.asarray(v, jnp.int32)
 
     # -- public API --------------------------------------------------------
     def track(self, frame: Frame) -> TrackOutput:
@@ -388,40 +554,87 @@ class Tracker:
         n_inliers = 0
         tracked = False
         if self.state == OK:
-            tracked, n_inliers = self._track_frame(frame)
-        if (self.state == LOST or not tracked) and self.reloc_fn is not None:
-            # Relocalization (Tracking.cc:436-448 -> Relocalization:1341)
-            ok, Tcw, assoc = self.reloc_fn(frame)
-            if ok:
+            T_last = jnp.asarray(self.last_Tcw)
+            have_vel = self.velocity is not None
+            T_pred = (
+                _apply_velocity(self.velocity, T_last) if have_vel else T_last
+            )
+            self.map, Tcw, assoc, stats = _track_frame_fused(
+                self.map,
+                frame.feats,
+                frame.uright,
+                frame.depth,
+                T_pred,
+                T_last,
+                jnp.asarray(have_vel),
+                self.last_frame.assoc,
+                jnp.asarray(self.ref_kf, jnp.int32),
+                jnp.asarray(frame.frame_id, jnp.int32),
+                jnp.asarray(self.last_kf_frame_id, jnp.int32),
+                jnp.asarray(self.n_kfs, jnp.int32),
+                cfg,
+            )
+            stats = np.asarray(stats)  # the single per-frame device pull
+            tracked = stats[S_TRACKED] > 0
+            n_inliers = int(stats[S_N_INL])
+            # recently-relocalized frames require the stricter inlier floor
+            # (Tracking.cc:967-971)
+            if (
+                tracked
+                and self.frames_since_reloc < cfg.fps
+                and n_inliers < C.TRACK_LOCAL_MAP_MIN_INLIERS_RECENT_RELOC
+            ):
+                tracked = False
+            if tracked:
                 frame.Tcw = Tcw
                 frame.assoc = assoc
+                best_local = int(stats[S_BEST_LOCAL])
+                if best_local >= 0:
+                    self.ref_kf = best_local
+        if not tracked and self.reloc_fn is not None:
+            # Relocalization (Tracking.cc:436-448 -> Relocalization:1341)
+            ok, Tcw_r, assoc_r = self.reloc_fn(frame)
+            if ok:
+                frame.Tcw = Tcw_r
+                frame.assoc = assoc_r
                 self.velocity = None
                 self.frames_since_reloc = 0
-                self.last_Tcw = np.asarray(Tcw)
+                self.last_Tcw = Tcw_r
                 n_inliers = self._track_local_map(frame)
                 tracked = n_inliers >= C.TRACK_LOCAL_MAP_MIN_INLIERS
+                stats = None
         if not tracked:
             self.state = LOST
             return TrackOutput(LOST, None, 0, False, ref_kf=self.ref_kf)
 
         self.state = OK
-        # motion model update (Tracking.cc:423-434)
+        self.frames_since_reloc += 1
+        # motion model update (Tracking.cc:423-434), device-resident
         if self.last_Tcw is not None:
-            self.velocity = np.asarray(frame.Tcw) @ np.linalg.inv(self.last_Tcw)
-        self.last_Tcw = np.asarray(frame.Tcw)
+            self.velocity = _compose_velocity(
+                frame.Tcw, jnp.asarray(self.last_Tcw)
+            )
+        self.last_Tcw = frame.Tcw
         self.last_frame = frame
         self.n_last_inliers = n_inliers
 
-        if self._need_new_keyframe(frame, n_inliers):
+        need_kf = (
+            stats is not None
+            and stats[S_NEED_KF] > 0
+            and self.n_kfs < cfg.max_keyframes - 1
+        )
+        if stats is None and not cfg.localization_only:
+            # post-relocalization frame: fall back to the host-side policy
+            need_kf = self._need_new_keyframe(frame, n_inliers)
+        if need_kf:
             self._create_keyframe(frame)
             created_kf = True
 
-        Tcr = np.asarray(frame.Tcw) @ np.linalg.inv(
-            np.asarray(self.map.kf_pose[self.ref_kf])
-        )
+        # Tcr stays on device; System batches the pull at save time
+        Tcr = _relative_to_kf(frame.Tcw, self.map.kf_pose[self.ref_kf])
         return TrackOutput(
             state=self.state,
-            Tcw=np.asarray(frame.Tcw),
+            Tcw=frame.Tcw,
             n_inliers=n_inliers,
             created_kf=created_kf,
             relative_to_kf=Tcr,
@@ -455,7 +668,7 @@ class Tracker:
             create_all_depth=True,
         )
         self.n_kfs = 1
-        self.n_pts = int(n_created)
+        self.n_pts_dev = n_created.astype(jnp.int32)
         frame.assoc = kf_obs_row
         self.ref_kf = 0
         self.last_kf_frame_id = frame.frame_id
@@ -464,65 +677,6 @@ class Tracker:
         for cb in self.new_kf_callbacks:
             cb(0)
         return self.n_pts > 0
-
-    def _track_frame(self, frame: Frame):
-        cfg = self.cfg
-        ok = False
-        if self.velocity is not None:
-            ok = self._track_with_motion_model(frame)
-        if not ok:
-            ok = self._track_reference_kf(frame)
-        if not ok:
-            return False, 0
-        n_inliers = self._track_local_map(frame)
-        min_inl = C.TRACK_LOCAL_MAP_MIN_INLIERS
-        if self.frames_since_reloc < cfg.fps:
-            min_inl = C.TRACK_LOCAL_MAP_MIN_INLIERS_RECENT_RELOC
-        self.frames_since_reloc += 1
-        return n_inliers >= min_inl, n_inliers
-
-    def _track_with_motion_model(self, frame: Frame) -> bool:
-        """Tracking::TrackWithMotionModel (src/Tracking.cc:867-928)."""
-        cfg = self.cfg
-        T_pred = jnp.asarray(self.velocity @ self.last_Tcw)
-        last_assoc = self.last_frame.assoc
-        # candidate points = the previous frame's tracked points
-        th = 7.0 if cfg.sensor != MONOCULAR else 15.0
-        assoc, n_matches, _ = _match_against_points(
-            self.map, last_assoc, T_pred, frame.feats, frame.uright,
-            jnp.asarray(th), cfg, use_frustum_band=False,
-        )
-        if int(n_matches) < C.TRACK_MOTION_MIN_MATCHES:
-            # widened retry (src/Tracking.cc:888-892: 2*th)
-            assoc, n_matches, _ = _match_against_points(
-                self.map, last_assoc, T_pred, frame.feats, frame.uright,
-                jnp.asarray(2 * th), cfg, use_frustum_band=False,
-            )
-            if int(n_matches) < C.TRACK_MOTION_MIN_MATCHES:
-                return False
-        Tcw, assoc, n_inl = _pose_opt_from_assoc(
-            self.map, T_pred, frame.feats, frame.uright, assoc, cfg
-        )
-        frame.Tcw = Tcw
-        frame.assoc = assoc
-        return int(n_inl) >= 10
-
-    def _track_reference_kf(self, frame: Frame) -> bool:
-        """Tracking::TrackReferenceKeyFrame (src/Tracking.cc:757-799)."""
-        if self.ref_kf < 0:
-            return False
-        assoc, n_matches = _match_ref_kf(
-            self.map, jnp.asarray(self.ref_kf), frame.feats, self.cfg
-        )
-        if int(n_matches) < C.TRACK_REF_KF_MIN_MATCHES:
-            return False
-        T0 = jnp.asarray(self.last_Tcw)
-        Tcw, assoc, n_inl = _pose_opt_from_assoc(
-            self.map, T0, frame.feats, frame.uright, assoc, self.cfg
-        )
-        frame.Tcw = Tcw
-        frame.assoc = assoc
-        return int(n_inl) >= 10
 
     def _track_local_map(self, frame: Frame) -> int:
         """Tracking::TrackLocalMap (src/Tracking.cc:930-975): expand to the
@@ -598,7 +752,7 @@ class Tracker:
         self.map, n_created, kf_obs_row = _create_keyframe_kernel(
             self.map,
             jnp.asarray(slot, jnp.int32),
-            jnp.asarray(self.n_pts, jnp.int32),
+            self.n_pts_dev,
             jnp.asarray(frame.frame_id, jnp.int32),
             jnp.asarray(frame.timestamp, jnp.float32),
             frame.Tcw,
@@ -610,7 +764,7 @@ class Tracker:
             self.cfg,
         )
         self.n_kfs += 1
-        self.n_pts += int(n_created)
+        self.n_pts_dev = self.n_pts_dev + n_created.astype(jnp.int32)
         frame.assoc = kf_obs_row
         self.ref_kf = slot
         self.last_kf_frame_id = frame.frame_id
