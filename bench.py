@@ -40,7 +40,10 @@ def main():
         max_points=32768,
         match_th_scale=1.5,
     )
-    scene = syn.make_scene(n_points=1600, seed=0)
+    # indoor close-range scene (TUM fr1-like): most landmarks inside the
+    # close-point threshold so the keyframe policy behaves as on the
+    # reference's 30fps RGB-D sequences
+    scene = syn.make_scene(n_points=1600, seed=0, extent=(6.0, 4.0, 6.0), z_near=1.0)
     poses = syn.make_trajectory("jitter", n_frames=n_frames, step=0.04)
     # pre-render so host rendering stays out of the timed region
     frames = list(

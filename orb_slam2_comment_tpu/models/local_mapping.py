@@ -32,9 +32,9 @@ from orb_slam2_comment_tpu.ops.orb import FrameFeatures
 from orb_slam2_comment_tpu.utils.config import MONOCULAR, SlamConfig
 
 # BA window capacities (static shapes)
-NC_FREE = 16
-NC_FIXED = 16
-NP_BA = 4096
+NC_FREE = 12
+NC_FIXED = 12
+NP_BA = 2048
 TRI_MAX_NEW = 128
 N_TRI_NEIGHBORS = 5
 N_FUSE_NEIGHBORS = 5
@@ -394,13 +394,18 @@ def build_ba_window(m: ms.MapState, kf_id: jax.Array, cfg: SlamConfig):
     )
     is_free = is_free & m.kf_valid & (jnp.arange(kmax) != 0)
 
-    # points observed by free KFs
+    # points observed by free KFs. When they exceed NP_BA, keep the NEWEST
+    # (highest-slot) points: old points are already BA-converged, while
+    # fresh triangulations/keyframe spawns are the unconverged geometry —
+    # a plain 0/1 top_k would keep the oldest and leave every new point
+    # inconsistent with the window's adjusted poses.
     obs_masked = jnp.where(is_free[:, None], m.kf_obs, -1)
     in_local = jnp.zeros(pmax, bool).at[
         jnp.clip(obs_masked.reshape(-1), 0, pmax - 1)
     ].set(obs_masked.reshape(-1) >= 0)
     in_local = in_local & m.pt_valid
-    pv, pt_ids = jax.lax.top_k(in_local.astype(jnp.int32), NP_BA)
+    pt_score = jnp.where(in_local, jnp.arange(pmax, dtype=jnp.int32) + 1, 0)
+    pv, pt_ids = jax.lax.top_k(pt_score, NP_BA)
     pt_ids = jnp.where(pv > 0, pt_ids, -1)
     sel = jnp.zeros(pmax, bool).at[jnp.clip(pt_ids, 0, pmax - 1)].set(pt_ids >= 0)
     remap = jnp.full(pmax, -1, jnp.int32).at[

@@ -37,7 +37,7 @@ NOT_INITIALIZED = 0
 OK = 1
 LOST = 2
 
-LOCAL_POINTS_CAP = 4096
+LOCAL_POINTS_CAP = 8192
 
 
 def _inv_sigma2(cfg: SlamConfig) -> jnp.ndarray:
@@ -106,13 +106,26 @@ def _match_against_points(
         nn_ratio=0.8,
     )
     n = feats.xy.shape[0]
-    assoc = jnp.full((n,), -1, jnp.int32)
-    # last-wins scatter; mutual conflicts are rare and later pose-opt gates them
-    assoc = assoc.at[res.idx].set(jnp.where(res.ok, pt_ids, -1).astype(jnp.int32))
+    assoc = _invert_matches(res, pt_ids, n)
     # features that already failed validity shouldn't hold associations
     assoc = jnp.where(feats.valid, assoc, -1)
     n_matches = jnp.sum(assoc >= 0)
     return assoc, n_matches, visible
+
+
+def _invert_matches(res, row_ids, n_cols):
+    """Row->col matches inverted to a per-column assignment, resolving
+    collisions deterministically by best Hamming distance (a plain
+    colliding scatter would be order-undefined on XLA and make runs
+    non-reproducible). Encodes (distance, row-id) into one int key and
+    scatter-mins it."""
+    key = (
+        jnp.clip(res.dist, 0, 511).astype(jnp.int32) * (1 << 20)
+        + jnp.clip(row_ids, 0, (1 << 20) - 1)
+    )
+    key = jnp.where(res.ok & (row_ids >= 0), key, jnp.int32(0x7FFFFFFF))
+    best = jnp.full((n_cols,), 0x7FFFFFFF, jnp.int32).at[res.idx].min(key)
+    return jnp.where(best < 0x7FFFFFFF, best % (1 << 20), -1)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -150,7 +163,13 @@ def _select_local_map(m: ms.MapState, assoc: jax.Array):
     """Local keyframes = KFs sharing observations with the current frame,
     capped at LOCAL_MAP_MAX_KFS (Tracking::UpdateLocalKeyFrames,
     src/Tracking.cc:1243-1339); local points = union of their observations
-    (UpdateLocalPoints, :1215-1241). Returns (kf_ids, pt_ids) padded -1."""
+    (UpdateLocalPoints, :1215-1241). Returns (kf_ids, pt_ids) padded -1.
+
+    When the union exceeds LOCAL_POINTS_CAP, points are kept by the
+    covisibility strength of their strongest local observer (a plain 0/1
+    top_k would keep the lowest slot indices — the OLDEST points — and
+    silently drop exactly the recent points the frame can see, degrading
+    tracking as the map grows past the cap)."""
     pmax = m.pt_pos.shape[0]
     kmax = m.kf_pose.shape[0]
     in_cur = jnp.zeros(pmax, bool).at[jnp.clip(assoc, 0, pmax - 1)].set(assoc >= 0)
@@ -159,14 +178,14 @@ def _select_local_map(m: ms.MapState, assoc: jax.Array):
     k = min(C.LOCAL_MAP_MAX_KFS, kmax)
     top_counts, top_kfs = jax.lax.top_k(counts, k)
     kf_ids = jnp.where(top_counts > 0, top_kfs, -1)
-    # local points: observations of the local KFs
-    sel = jnp.zeros(kmax, bool).at[jnp.clip(kf_ids, 0, kmax - 1)].set(kf_ids >= 0)
-    obs_sel = jnp.where(sel[:, None], m.kf_obs, -1)
-    in_local = jnp.zeros(pmax, bool).at[
+    # local points scored by their strongest observer's shared-obs count
+    obs_sel = m.kf_obs[jnp.clip(kf_ids, 0, kmax - 1)]            # [k, N]
+    w = jnp.where(kf_ids >= 0, top_counts, 0)                    # [k]
+    score = jnp.zeros(pmax, jnp.int32).at[
         jnp.clip(obs_sel.reshape(-1), 0, pmax - 1)
-    ].set(obs_sel.reshape(-1) >= 0)
-    in_local = in_local & m.pt_valid
-    vals, ids = jax.lax.top_k(in_local.astype(jnp.int32), LOCAL_POINTS_CAP)
+    ].max((w[:, None] * (obs_sel >= 0)).reshape(-1))
+    score = jnp.where(m.pt_valid, score, 0)
+    vals, ids = jax.lax.top_k(score, LOCAL_POINTS_CAP)
     pt_ids = jnp.where(vals > 0, ids, -1)
     return kf_ids, pt_ids
 
@@ -317,8 +336,7 @@ def _match_ref_kf(m: ms.MapState, ref_kf: jax.Array, feats, cfg: SlamConfig):
         angles_a=m.kf_angle[ref_kf], angles_b=feats.angle,
     )
     n = feats.xy.shape[0]
-    assoc = jnp.full((n,), -1, jnp.int32)
-    assoc = assoc.at[res.idx].set(jnp.where(res.ok, kf_obs, -1))
+    assoc = _invert_matches(res, kf_obs, n)
     assoc = jnp.where(feats.valid, assoc, -1)
     return assoc, jnp.sum(assoc >= 0)
 
@@ -344,7 +362,10 @@ S_N_REF = 6          # reference-KF match count
 S_TRACKED_CLOSE = 7
 S_NONTRACKED_CLOSE = 8
 S_N_REF_MATCHES = 9  # reference-KF tracked points with >= minObs
-N_STATS = 10
+S_COARSE_OK = 10     # motion/ref coarse stage succeeded
+S_INL_M = 11         # motion-branch pose-opt inliers
+S_INL_R = 12         # ref-branch pose-opt inliers
+N_STATS = 13
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
@@ -397,6 +418,10 @@ def _track_frame_fused(
     coarse_ok = motion_ok | ref_ok
 
     # --- local map (TrackLocalMap, :930-975) ------------------------------
+    # NOTE: do NOT widen this radius adaptively — a wider window pulls in
+    # competing candidates whose second-best distance defeats the Lowe
+    # ratio test, and net matches DROP (measured: adaptive 3x widening
+    # cost ~5-15 inliers/frame, compounding into tracking loss)
     kf_ids, pt_ids = _select_local_map(m, assoc1)
     th_local = 3.0 if cfg.sensor == "rgbd" else 1.0
     assoc2, n2, visible = _match_against_points(
@@ -408,7 +433,10 @@ def _track_frame_fused(
 
     Tcw = jnp.where(tracked, T_f, T_last)
     assoc_out = jnp.where(tracked, assoc_f, -1)
-    m = _update_point_counters(m, pt_ids, visible & tracked, assoc_out)
+    # point counters update on every coarse-tracked frame (the reference's
+    # SearchLocalPoints runs before the final inlier gate)
+    assoc_seen = jnp.where(coarse_ok, assoc_f, -1)
+    m = _update_point_counters(m, pt_ids, visible & coarse_ok, assoc_seen)
 
     # --- keyframe policy (NeedNewKeyFrame, :977-1061) ---------------------
     best_local = kf_ids[0]
@@ -456,18 +484,23 @@ def _track_frame_fused(
     stats = stats.at[S_TRACKED_CLOSE].set(tracked_close.astype(jnp.float32))
     stats = stats.at[S_NONTRACKED_CLOSE].set(nontracked_close.astype(jnp.float32))
     stats = stats.at[S_N_REF_MATCHES].set(n_ref_matches.astype(jnp.float32))
+    stats = stats.at[S_COARSE_OK].set(coarse_ok.astype(jnp.float32))
+    stats = stats.at[S_INL_M].set(inl_m.astype(jnp.float32))
+    stats = stats.at[S_INL_R].set(inl_r.astype(jnp.float32))
     return m, Tcw, assoc_out, stats
 
 
 @jax.jit
 def _compose_velocity(Tcw, T_last):
-    """velocity = Tcw @ T_last^-1 (Tracking.cc:423-434), device-resident."""
-    return Tcw @ geo.inv_T(T_last)
+    """velocity = Tcw @ T_last^-1 (Tracking.cc:423-434), device-resident.
+    Re-orthonormalized: the constant-velocity chain is the fastest
+    off-SO(3) amplifier in the system (see geo.orthonormalize_R)."""
+    return geo.orthonormalize_T(Tcw @ geo.inv_T(T_last))
 
 
 @jax.jit
 def _apply_velocity(velocity, T_last):
-    return velocity @ T_last
+    return geo.orthonormalize_T(velocity @ T_last)
 
 
 @jax.jit
@@ -507,7 +540,7 @@ class Tracker:
         self.last_frame: Optional[Frame] = None
         self.ref_kf = -1
         self.last_kf_frame_id = -1
-        self.frames_since_reloc = 1 << 30
+        self.last_reloc_frame_id = -(1 << 30)
         self.new_kf_callbacks = []   # local-mapping hook
         self.reloc_fn = None         # relocalization hook (set by System)
         self.n_last_inliers = 0
@@ -553,7 +586,14 @@ class Tracker:
         created_kf = False
         n_inliers = 0
         tracked = False
-        if self.state == OK:
+        stats = None
+        if self.state == OK and not cfg.fused_tracking:
+            # staged mode: the reference's exact fallback ladder with host
+            # branch decisions (more device syncs; slightly more robust on
+            # marginal frames because each stage re-decides from concrete
+            # counts)
+            tracked, n_inliers = self._staged_retry(frame)
+        elif self.state == OK:
             T_last = jnp.asarray(self.last_Tcw)
             have_vel = self.velocity is not None
             T_pred = (
@@ -577,20 +617,33 @@ class Tracker:
             stats = np.asarray(stats)  # the single per-frame device pull
             tracked = stats[S_TRACKED] > 0
             n_inliers = int(stats[S_N_INL])
-            # recently-relocalized frames require the stricter inlier floor
-            # (Tracking.cc:967-971)
+            # recently-relocalized frames require the stricter inlier floor;
+            # the window is FRAME-ID based like the reference's
+            # mnLastRelocFrameId + mMaxFrames (Tracking.cc:967-971)
             if (
                 tracked
-                and self.frames_since_reloc < cfg.fps
+                and frame.frame_id - self.last_reloc_frame_id < cfg.fps
                 and n_inliers < C.TRACK_LOCAL_MAP_MIN_INLIERS_RECENT_RELOC
             ):
                 tracked = False
             if tracked:
                 frame.Tcw = Tcw
                 frame.assoc = assoc
+            if stats[S_COARSE_OK] > 0:
+                # the reference updates its reference KF inside
+                # TrackLocalMap, before the final inlier gate
                 best_local = int(stats[S_BEST_LOCAL])
                 if best_local >= 0:
                     self.ref_kf = best_local
+        if not tracked and self.state == OK and cfg.fused_tracking:
+            # Redundant staged retry: the fused kernel trades a few
+            # inliers for its single-dispatch structure; on marginal
+            # frames re-run the coarse+local chain with host-side branch
+            # decisions before declaring the frame lost (costs a handful
+            # of device pulls, only on weak frames).
+            tracked, n_inliers = self._staged_retry(frame)
+            if tracked:
+                stats = None
         if not tracked and self.reloc_fn is not None:
             # Relocalization (Tracking.cc:436-448 -> Relocalization:1341)
             ok, Tcw_r, assoc_r = self.reloc_fn(frame)
@@ -598,7 +651,7 @@ class Tracker:
                 frame.Tcw = Tcw_r
                 frame.assoc = assoc_r
                 self.velocity = None
-                self.frames_since_reloc = 0
+                self.last_reloc_frame_id = frame.frame_id
                 self.last_Tcw = Tcw_r
                 n_inliers = self._track_local_map(frame)
                 tracked = n_inliers >= C.TRACK_LOCAL_MAP_MIN_INLIERS
@@ -608,7 +661,6 @@ class Tracker:
             return TrackOutput(LOST, None, 0, False, ref_kf=self.ref_kf)
 
         self.state = OK
-        self.frames_since_reloc += 1
         # motion model update (Tracking.cc:423-434), device-resident
         if self.last_Tcw is not None:
             self.velocity = _compose_velocity(
@@ -677,6 +729,51 @@ class Tracker:
         for cb in self.new_kf_callbacks:
             cb(0)
         return self.n_pts > 0
+
+    def _staged_retry(self, frame: Frame):
+        """Per-stage tracking with host branch decisions (the reference's
+        exact fallback ladder, Tracking.cc:300-345) — used when the fused
+        kernel reports a weak frame."""
+        cfg = self.cfg
+        ok = False
+        if self.velocity is not None:
+            T_pred = _apply_velocity(self.velocity, jnp.asarray(self.last_Tcw))
+            th = 7.0 if cfg.sensor != MONOCULAR else 15.0
+            assoc, nm, _ = _match_against_points(
+                self.map, self.last_frame.assoc, T_pred, frame.feats,
+                frame.uright, jnp.asarray(th), cfg, use_frustum_band=False,
+            )
+            if int(nm) < C.TRACK_MOTION_MIN_MATCHES:
+                assoc, nm, _ = _match_against_points(
+                    self.map, self.last_frame.assoc, T_pred, frame.feats,
+                    frame.uright, jnp.asarray(2 * th), cfg,
+                    use_frustum_band=False,
+                )
+            if int(nm) >= C.TRACK_MOTION_MIN_MATCHES:
+                Tcw, assoc, ninl = _pose_opt_from_assoc(
+                    self.map, T_pred, frame.feats, frame.uright, assoc, cfg
+                )
+                if int(ninl) >= 10:
+                    frame.Tcw = Tcw
+                    frame.assoc = assoc
+                    ok = True
+        if not ok and self.ref_kf >= 0:
+            assoc, nm = _match_ref_kf(
+                self.map, jnp.asarray(self.ref_kf), frame.feats, cfg
+            )
+            if int(nm) >= C.TRACK_REF_KF_MIN_MATCHES:
+                Tcw, assoc, ninl = _pose_opt_from_assoc(
+                    self.map, jnp.asarray(self.last_Tcw), frame.feats,
+                    frame.uright, assoc, cfg,
+                )
+                if int(ninl) >= 10:
+                    frame.Tcw = Tcw
+                    frame.assoc = assoc
+                    ok = True
+        if not ok:
+            return False, 0
+        n_inl = self._track_local_map(frame)
+        return n_inl >= C.TRACK_LOCAL_MAP_MIN_INLIERS, n_inl
 
     def _track_local_map(self, frame: Frame) -> int:
         """Tracking::TrackLocalMap (src/Tracking.cc:930-975): expand to the

@@ -164,11 +164,14 @@ def pose_optimize(
         new_mask = (chi2 <= chi2_th) & (depth > 0) & valid
         return T, new_mask
 
-    T = Tcw0
+    # project the initial guess onto SO(3): a non-orthonormal rotation (e.g.
+    # from float32 velocity-composition drift) is unfixable by left-increment
+    # updates and leaves the optimizer stuck near the initial pose
+    T = geo.orthonormalize_T(Tcw0)
     mask = valid
     for rd in range(rounds):
         T, mask = lm_round(T, mask, robust=rd < C.POSE_OPT_ROBUST_ROUNDS)
-    return PoseOptResult(Tcw=T, inliers=mask, n_inliers=jnp.sum(mask))
+    return PoseOptResult(Tcw=geo.orthonormalize_T(T), inliers=mask, n_inliers=jnp.sum(mask))
 
 
 # ---------------------------------------------------------------------------
@@ -337,7 +340,9 @@ def local_bundle_adjustment(
         cost = jnp.where(accept, new_cost, cost)
         return (cam_T, pts, lam, cost, obs_ok)
 
-    cam_T, pts = prob.cam_T, prob.pts
+    # SO(3) projection of inputs/outputs (see pose_optimize): 15 LM steps of
+    # exp(d) @ T per window, windows chained over the whole run
+    cam_T, pts = geo.orthonormalize_T(prob.cam_T), prob.pts
     obs_ok = prob.obs_valid
     cost0 = cost_of(cam_T, pts, obs_ok, True)
     carry = (cam_T, pts, jnp.asarray(1e-4), cost0, obs_ok)
@@ -367,7 +372,9 @@ def local_bundle_adjustment(
     )
     chi2 = _edge_chi2(r, inv_s2, comp)
     inlier = prob.obs_valid & (chi2 <= chi2_th) & (depth > 0)
-    return BAResult(cam_T=cam_T, pts=pts, obs_inlier=inlier, cost=cost)
+    return BAResult(
+        cam_T=geo.orthonormalize_T(cam_T), pts=pts, obs_inlier=inlier, cost=cost
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -742,4 +749,6 @@ def global_bundle_adjustment(
     )
     chi2 = _edge_chi2(r, inv_s2, comp)
     inlier = prob.obs_valid & (chi2 <= chi2_th) & (depth > 0)
-    return BAResult(cam_T=cam_T, pts=pts, obs_inlier=inlier, cost=cost)
+    return BAResult(
+        cam_T=geo.orthonormalize_T(cam_T), pts=pts, obs_inlier=inlier, cost=cost
+    )

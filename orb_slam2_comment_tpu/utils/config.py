@@ -52,6 +52,11 @@ class SlamConfig:
     enable_local_ba: bool = True
     enable_loop_closing: bool = True
     localization_only: bool = False
+    # Tracking execution mode: True = single fused device program with one
+    # host sync per frame (fast on remote-attached TPUs); False = the
+    # reference's staged fallback ladder with host branch decisions
+    # (several syncs per frame, slightly more robust margins).
+    fused_tracking: bool = True
     # Hamming acceptance scaling: 1.0 reproduces the reference thresholds
     # (TH_LOW=50/TH_HIGH=100, ORBmatcher.cc:37-38), tuned for real-image
     # ORB stability. Synthetic scenes with noisier descriptors run at

@@ -21,14 +21,25 @@ _MAX_HALF = 7
 
 @dataclass
 class SyntheticScene:
-    """A box of landmark 'markers' that render as uniquely-textured patches.
+    """A box of landmark 'markers': world-anchored textured 3D squares.
+
+    Each marker is a true planar patch in 3D (center + orthonormal frame +
+    metric half-size), rendered with perspective-correct texture warp and
+    per-pixel exact depth. This matters: camera-facing billboards with
+    constant patch depth make FAST corners geometrically INCONSISTENT
+    landmarks across large viewpoint changes (the corner's effective 3D
+    position swings around the marker center as the camera moves), which
+    breaks orbit/loop trajectories no SLAM tuning can fix.
 
     Each marker stamps its own random texture so binary descriptors are
     discriminative across landmarks (uniform squares would collide)."""
 
-    points: np.ndarray       # [M, 3] world positions
-    texture: np.ndarray      # [M, 2*_MAX_HALF+1, 2*_MAX_HALF+1] pixel values
-    half: np.ndarray         # [M] half-size (px) of the stamped patch
+    points: np.ndarray       # [M, 3] world centers
+    e1: np.ndarray           # [M, 3] in-plane axis 1 (unit)
+    e2: np.ndarray           # [M, 3] in-plane axis 2 (unit)
+    normal: np.ndarray       # [M, 3] plane normal (unit)
+    half_m: np.ndarray       # [M] metric half-size of the square
+    texture: np.ndarray      # [M, S, S] pixel values
     background: float = 128.0
 
 
@@ -48,10 +59,15 @@ def make_scene(
         axis=1,
     ).astype(np.float32)
     side = 2 * _MAX_HALF + 1
-    # low-frequency unique textures: 5x5 random control grids bilinearly
-    # upsampled, so descriptors stay stable under the ~1px parallax shifts
-    # of stereo/multi-view rendering (per-pixel white noise decorrelates)
-    low = r.uniform(0.0, 255.0, (n_points, 5, 5)).astype(np.float32)
+    # unique binary block textures: 5x5 random dark/light control grids
+    # bilinearly upsampled. High contrast matters twice over — FAST corner
+    # scores stay far above threshold (no octave flapping between frames)
+    # and the intensity-centroid orientation is driven by strong asymmetric
+    # mass instead of noise (smooth uniform textures measured 12-80 deg of
+    # frame-to-frame angle jitter, which scrambles rotated BRIEF).
+    low = np.where(
+        r.uniform(size=(n_points, 5, 5)) > 0.5, 235.0, 20.0
+    ).astype(np.float32)
     xs = np.linspace(0, 4, side)
     i0 = np.clip(xs.astype(int), 0, 3)
     w = (xs - i0).astype(np.float32)
@@ -59,8 +75,26 @@ def make_scene(
     W[np.arange(side), i0] = 1 - w
     W[np.arange(side), i0 + 1] += w
     tex = np.einsum("ia,mab,jb->mij", W, low, W)
-    half = r.integers(4, _MAX_HALF + 1, n_points).astype(np.int32)
-    return SyntheticScene(points=pts, texture=tex, half=half)
+    # random plane orientation per marker (any viewpoint sees the ~half of
+    # the markers whose normal faces it — uniform across trajectories)
+    n = r.normal(size=(n_points, 3)).astype(np.float32)
+    n /= np.linalg.norm(n, axis=1, keepdims=True)
+    a = np.where(np.abs(n[:, :1]) < 0.9, [[1.0, 0, 0]], [[0, 1.0, 0]]).astype(
+        np.float32
+    )
+    e1 = np.cross(a, n)
+    e1 /= np.linalg.norm(e1, axis=1, keepdims=True)
+    e2 = np.cross(n, e1)
+    # metric size chosen so each marker subtends ~10-16 px from the test
+    # cameras (which live near the origin looking +z): large floating
+    # squares overlap heavily in the image, and the inter-marker parallax
+    # inside a 31px ORB patch scrambles orientation/descriptors between
+    # viewpoints (measured 12-80 deg angle jitter at 2x overdraw)
+    target_px = r.uniform(10.0, 16.0, n_points).astype(np.float32)
+    half_m = np.maximum(pts[:, 2], 1.0) * target_px / (2.0 * 520.0)
+    return SyntheticScene(
+        points=pts, e1=e1, e2=e2, normal=n, half_m=half_m, texture=tex
+    )
 
 
 def render(
@@ -75,38 +109,97 @@ def render(
 ):
     """Render a grayscale frame (and optional depth map) from pose Tcw.
 
+    Each marker square is ray-cast: pixels inside its projected quad get a
+    perspective-correct bilinear texture sample and the EXACT ray-plane
+    depth, so stereo disparity / RGB-D unprojection are consistent with the
+    true 3D geometry to machine precision.
+
     baseline > 0 shifts the camera right by `baseline` meters (for the right
-    image of a stereo pair).
+    image of a rectified pair).
     Returns image [H,W] float32 (and depth [H,W] float32 with 0 = no depth).
     """
     h, w = hw
     fx, fy, cx, cy = K
-    r = np.random.default_rng(seed)
-    R, t = Tcw[:3, :3], Tcw[:3, 3]
-    Xc = scene.points @ R.T + t
+    rng = np.random.default_rng(seed)
+    R, t = Tcw[:3, :3].astype(np.float64), Tcw[:3, 3].astype(np.float64)
+    tc = t.copy()
     if baseline != 0.0:
         # right camera of a rectified pair: Xc_right = Xc_left - [b, 0, 0]
-        Xc = Xc - np.array([baseline, 0.0, 0.0], np.float32)
-    vis = Xc[:, 2] > 0.25
-    u = fx * Xc[:, 0] / np.maximum(Xc[:, 2], 1e-6) + cx
-    v = fy * Xc[:, 1] / np.maximum(Xc[:, 2], 1e-6) + cy
+        tc = tc - np.array([baseline, 0.0, 0.0])
+    Xc = scene.points @ R.T + tc          # marker centers, camera frame
+    n_c = scene.normal @ R.T              # plane normals, camera frame
+    e1_c = scene.e1 @ R.T
+    e2_c = scene.e2 @ R.T
+    S = scene.texture.shape[1]
+
     img = np.full((h, w), scene.background, np.float32)
     dep = np.zeros((h, w), np.float32)
-    # painter's algorithm: far markers first so near ones overwrite
-    order = np.argsort(-Xc[:, 2])
+
+    z = Xc[:, 2]
+    view = Xc / np.maximum(np.linalg.norm(Xc, axis=1, keepdims=True), 1e-9)
+    facing = np.einsum("md,md->m", n_c, view)
+    # visible: in front, tilt <= ~53 deg (|cos| > 0.60). Strongly tilted
+    # planes shear noticeably per frame of camera motion, which destabilizes
+    # orientation estimates and BRIEF bits; real feature pipelines also only
+    # track near-frontal surface patches reliably.
+    vis = (z > 0.25) & (np.abs(facing) > 0.60)
+    order = np.argsort(-z)  # painter's: far first
     for i in order:
         if not vis[i]:
             continue
-        ui, vi = int(round(u[i])), int(round(v[i]))
-        hf = int(scene.half[i])
-        if ui - hf < 0 or ui + hf >= w or vi - hf < 0 or vi + hf >= h:
+        hm = float(scene.half_m[i])
+        corners = (
+            Xc[i][None, :]
+            + np.array([[-1, -1], [1, -1], [1, 1], [-1, 1]])
+            @ np.stack([e1_c[i] * hm, e2_c[i] * hm])
+        )
+        if np.any(corners[:, 2] < 0.05):
             continue
-        img[vi - hf:vi + hf + 1, ui - hf:ui + hf + 1] = scene.texture[
-            i, : 2 * hf + 1, : 2 * hf + 1
-        ]
-        dep[vi - hf:vi + hf + 1, ui - hf:ui + hf + 1] = Xc[i, 2]
+        uc = fx * corners[:, 0] / corners[:, 2] + cx
+        vc = fy * corners[:, 1] / corners[:, 2] + cy
+        u0, u1 = int(np.floor(uc.min())), int(np.ceil(uc.max()))
+        v0, v1 = int(np.floor(vc.min())), int(np.ceil(vc.max()))
+        u0, u1 = max(u0, 0), min(u1, w - 1)
+        v0, v1 = max(v0, 0), min(v1, h - 1)
+        if u0 > u1 or v0 > v1 or (u1 - u0) * (v1 - v0) > 40000:
+            continue
+        uu, vv = np.meshgrid(
+            np.arange(u0, u1 + 1), np.arange(v0, v1 + 1)
+        )
+        # ray-plane intersection: d = pixel ray, t* = n.X / n.d
+        d = np.stack(
+            [(uu - cx) / fx, (vv - cy) / fy, np.ones_like(uu, np.float64)],
+            axis=-1,
+        )
+        nd = d @ n_c[i]
+        ok = np.abs(nd) > 1e-9
+        ts = (n_c[i] @ Xc[i]) / np.where(ok, nd, 1.0)
+        P = d * ts[..., None]
+        rel = P - Xc[i]
+        a = (rel @ e1_c[i]) / hm
+        b = (rel @ e2_c[i]) / hm
+        inside = ok & (ts > 0.05) & (np.abs(a) <= 1.0) & (np.abs(b) <= 1.0)
+        if not inside.any():
+            continue
+        # bilinear texture sample at (a,b) in [-1,1]^2
+        ta = (a + 1.0) * 0.5 * (S - 1)
+        tb = (b + 1.0) * 0.5 * (S - 1)
+        ia = np.clip(ta.astype(int), 0, S - 2)
+        ib = np.clip(tb.astype(int), 0, S - 2)
+        fa = np.clip(ta - ia, 0.0, 1.0)
+        fb = np.clip(tb - ib, 0.0, 1.0)
+        T = scene.texture[i]
+        val = (
+            T[ib, ia] * (1 - fa) * (1 - fb)
+            + T[ib, ia + 1] * fa * (1 - fb)
+            + T[ib + 1, ia] * (1 - fa) * fb
+            + T[ib + 1, ia + 1] * fa * fb
+        )
+        sl = (slice(v0, v1 + 1), slice(u0, u1 + 1))
+        img[sl] = np.where(inside, val, img[sl]).astype(np.float32)
+        dep[sl] = np.where(inside, P[..., 2], dep[sl]).astype(np.float32)
     if noise > 0:
-        img = img + r.normal(0, noise, img.shape).astype(np.float32)
+        img = img + rng.normal(0, noise, img.shape).astype(np.float32)
         img = np.clip(img, 0, 255)
     if depth_map:
         return img, dep
@@ -149,6 +242,20 @@ def make_trajectory(kind: str = "forward", n_frames: int = 30, step: float = 0.0
             Tcw = np.eye(4, dtype=np.float32)
             Tcw[:3, :3] = Rwc.T
             Tcw[:3, 3] = -Rwc.T @ pos
+            poses.append(Tcw)
+    elif kind == "circle_translate":
+        # translation-only circuit (camera keeps facing +z): revisits the
+        # start with identical viewing direction — a loop-closure-friendly
+        # trajectory without the per-frame rotation that stresses
+        # descriptor stability
+        radius = 4.0
+        for i in range(n_frames):
+            th = 2 * np.pi * i / n_frames
+            pos = radius * np.array(
+                [np.sin(th), 0.0, (1 - np.cos(th)) * 0.4], np.float32
+            )
+            Tcw = np.eye(4, dtype=np.float32)
+            Tcw[:3, 3] = -pos
             poses.append(Tcw)
     elif kind == "jitter":
         pos = np.zeros(3, np.float32)

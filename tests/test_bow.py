@@ -13,8 +13,16 @@ def _corpus(n_imgs=4, seed=0):
     descs = []
     feats_list = []
     for i in range(n_imgs):
+        # yaw + translate so late frames view genuinely different content
+        # (with true 3D markers, pure small translations keep the visible
+        # marker set nearly identical and near/far scores converge)
+        yaw = 0.45 * i
+        cz, sz = np.cos(yaw), np.sin(yaw)
+        Rwc = np.array([[cz, 0, sz], [0, 1, 0], [-sz, 0, cz]], np.float32)
+        twc = np.array([1.0 * i, 0.0, 0.3 * i], np.float32)
         T = np.eye(4, dtype=np.float32)
-        T[:3, 3] = [0.3 * i, 0.0, 0.2 * i]
+        T[:3, :3] = Rwc.T
+        T[:3, 3] = -Rwc.T @ twc
         img = syn.render(scene, T, syn.DEFAULT_K, syn.DEFAULT_HW, seed=10 + i)
         f, _ = orb.extract(jnp.asarray(img), cfg)
         v = np.asarray(f.valid)

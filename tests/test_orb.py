@@ -119,7 +119,10 @@ class TestExtract:
             # where that landmark falls in view 2 vs matched kp
             dx = u2[lm] - xy2[j[i], 0]
             dy = vv2[lm] - xy2[j[i], 1]
-            if dx * dx + dy * dy < 36:
+            # 10px gate: landmark identity is the marker CENTER but matched
+            # features are marker corners, legitimately ~5-8px off-center;
+            # wrong-marker matches land >= a marker spacing (~20px) away
+            if dx * dx + dy * dy < 100:
                 ok += 1
         assert tot > 40
         assert ok / tot > 0.8, f"match precision {ok}/{tot}"
