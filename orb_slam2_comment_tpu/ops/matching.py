@@ -68,12 +68,13 @@ class MatchResult(NamedTuple):
 
 
 def _best_two(dist: jax.Array):
-    """Per-row best and second-best distances + best index."""
+    """Per-row best and second-best distances + both indices."""
     best = jnp.argmin(dist, axis=1)
     d1 = jnp.take_along_axis(dist, best[:, None], axis=1)[:, 0]
     masked = dist.at[jnp.arange(dist.shape[0]), best].set(_INF)
-    d2 = jnp.min(masked, axis=1)
-    return best, d1, d2
+    best2 = jnp.argmin(masked, axis=1)
+    d2 = jnp.take_along_axis(masked, best2[:, None], axis=1)[:, 0]
+    return best, d1, d2, best2
 
 
 def _mutual_best(dist: jax.Array, row_best: jax.Array, row_ok: jax.Array):
@@ -116,14 +117,27 @@ def match_generic(
     mutual: bool = False,
     angles_a: jax.Array | None = None,
     angles_b: jax.Array | None = None,
+    octaves_b: jax.Array | None = None,
 ) -> MatchResult:
     """Best-match with acceptance threshold, Lowe ratio, mutual-best and
-    rotation-consistency filters. `mask` [N,M] bool marks candidates."""
+    rotation-consistency filters. `mask` [N,M] bool marks candidates.
+
+    When `octaves_b` is given, the ratio test only applies if best and
+    second-best candidates sit at the SAME octave — the reference's
+    projection search accepts a cross-octave second-best regardless of
+    ratio (src/ORBmatcher.cc:113-121: `if(bestLevel==bestLevel2 &&
+    bestDist>mfNNratio*bestDist2) continue`), because the same physical
+    corner redetected at an adjacent pyramid level is not a competing
+    hypothesis."""
     d = jnp.where(mask, dist, _INF)
-    best, d1, d2 = _best_two(d)
+    best, d1, d2, best2 = _best_two(d)
     ok = d1 <= max_dist
     if nn_ratio is not None:
-        ok = ok & (d1 < nn_ratio * d2)
+        ratio_ok = d1 < nn_ratio * d2
+        if octaves_b is not None:
+            same_level = octaves_b[best] == octaves_b[best2]
+            ratio_ok = ratio_ok | ~same_level
+        ok = ok & ratio_ok
     if mutual:
         ok = _mutual_best(d, best, ok)
     if angles_a is not None:
@@ -188,6 +202,7 @@ def match_projection(
     return match_generic(
         dist, mask, max_dist, nn_ratio,
         angles_a=angles_p, angles_b=feats.angle,
+        octaves_b=feats.octave,
     )
 
 

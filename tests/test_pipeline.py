@@ -28,10 +28,10 @@ def _cfg(sensor):
     )
 
 
-def _run(sensor, n_frames=N_FRAMES, trajectory="jitter"):
+def _run(sensor, n_frames=N_FRAMES, trajectory="jitter", step=0.05):
     cfg = _cfg(sensor)
     scene = syn.make_scene(n_points=1400, seed=0)
-    poses = syn.make_trajectory(trajectory, n_frames=n_frames, step=0.05)
+    poses = syn.make_trajectory(trajectory, n_frames=n_frames, step=step)
     tracker = Tracker(cfg)
     est, gt = [], []
     frames = syn.render_sequence(
@@ -54,7 +54,11 @@ def _run(sensor, n_frames=N_FRAMES, trajectory="jitter"):
 
 class TestRGBDPipeline:
     def test_tracks_sequence(self):
-        tracker, est, gt = _run("rgbd")
+        # forward motion: the camera genuinely leaves the initial view, so
+        # the keyframe policy must fire (small jitter around the origin
+        # correctly creates NO new keyframes now that matching recall is
+        # reference-grade — tracking vs KF0 stays above the 0.4 ratio)
+        tracker, est, gt = _run("rgbd", trajectory="forward", step=0.25)
         assert len(est) == N_FRAMES, f"tracked {len(est)}/{N_FRAMES}"
         assert tracker.state == OK
         assert tracker.n_kfs >= 2
