@@ -63,7 +63,6 @@ class System:
         self.tracker.new_kf_callbacks.append(self._on_new_kf)
 
         self.frame_id = 0
-        self.trajectory = []  # (timestamp, Tcr, ref_kf, state)
         self.n_loops = 0
 
     # -- vocabulary / database wiring --------------------------------------
@@ -101,17 +100,19 @@ class System:
     # -- per-frame entry points (System.cc:116-265) -------------------------
     def track_stereo(self, image_left, image_right, timestamp):
         assert self.cfg.sensor == STEREO
-        f = fr.build_frame_stereo(
-            self.frame_id, timestamp, image_left, image_right, self.cfg
+        out = self.tracker.track_stereo_arrays(
+            self.frame_id, timestamp, image_left, image_right
         )
-        return self._track(f, timestamp)
+        self.frame_id += 1
+        return out
 
     def track_rgbd(self, image, depth_map, timestamp):
         assert self.cfg.sensor == RGBD
-        f = fr.build_frame_rgbd(
-            self.frame_id, timestamp, image, depth_map, self.cfg
+        out = self.tracker.track_rgbd_arrays(
+            self.frame_id, timestamp, image, depth_map
         )
-        return self._track(f, timestamp)
+        self.frame_id += 1
+        return out
 
     def track_monocular(self, image, timestamp):
         assert self.cfg.sensor == MONOCULAR
@@ -119,21 +120,15 @@ class System:
         # (Tracking.cc:243-247). The fixed-shape map keeps one budget for
         # every frame instead; raise n_features in the config if the
         # initializer needs more texture.
-        f = fr.build_frame_mono(self.frame_id, timestamp, image, self.cfg)
-        return self._track(f, timestamp)
-
-    def _track(self, f, timestamp):
-        out = self.tracker.track(f)
+        out = self.tracker.track_mono_arrays(self.frame_id, timestamp, image)
         self.frame_id += 1
-        # per-frame relative pose record for trajectory recovery
-        # (Tracking.cc:488-504)
-        if out.Tcw is not None and out.relative_to_kf is not None:
-            self.trajectory.append(
-                (timestamp, out.relative_to_kf, out.ref_kf, out.state)
-            )
-        elif out.Tcw is not None:
-            self.trajectory.append((timestamp, np.eye(4), out.ref_kf, out.state))
         return out
+
+    @property
+    def trajectory(self):
+        """Per-frame (timestamp, Tcr, ref_kf, state) records, resolved up
+        to the async pipeline's lag; flush via tracker before saving."""
+        return self.tracker.trajectory
 
     # -- mode switches (System.cc:268-299) ----------------------------------
     def activate_localization_mode(self):
@@ -153,27 +148,34 @@ class System:
         src/Tracking.cc:1504-1550): clears the map, the database, and the
         tracking state."""
         cfg = self.cfg
+        self.tracker._flush_all()
+        self.tracker._pull_q.put(None)  # stop the old puller thread
         self.tracker = Tracker(cfg)
         self.mapper = LocalMapper(cfg, self.tracker)
         self.tracker.new_kf_callbacks.append(self.mapper.process)
         if self.voc is not None:
             self._init_db()
         self.tracker.new_kf_callbacks.append(self._on_new_kf)
-        self.trajectory = []
 
     def shutdown(self):
-        """No threads to join in the synchronous pipeline; kept for API
-        parity (System::Shutdown, src/System.cc:301-320)."""
+        """Drain the async tracking pipeline (the analogue of the
+        reference's thread-join barrier, System::Shutdown,
+        src/System.cc:301-320)."""
+        self.tracker._flush_all()
 
     # -- state queries (System.cc:282-299, 474-491) --------------------------
     def get_tracking_state(self):
         return self.tracker.state
 
     def get_tracked_map_points(self):
-        lf = self.tracker.last_frame
-        if lf is None or lf.assoc is None:
+        t = self.tracker
+        t._flush_all()
+        if t.ds is not None:
+            a = np.asarray(t.ds.last_assoc)
+        elif t.last_frame is not None and t.last_frame.assoc is not None:
+            a = np.asarray(t.last_frame.assoc)
+        else:
             return np.empty(0, np.int64)
-        a = np.asarray(lf.assoc)
         return a[a >= 0]
 
     def map_changed(self):
@@ -181,6 +183,7 @@ class System:
 
     # -- trajectory savers (System.cc:322-472) -------------------------------
     def _frame_poses(self):
+        self.tracker._flush_all()
         m = self.tracker.map
         kf_pose = np.asarray(m.kf_pose)
         out = []
@@ -199,15 +202,19 @@ class System:
         traj.save_kitti(path, [T for _, T in fp])
 
     def save_keyframe_trajectory_tum(self, path):
+        self.tracker._flush_all()
         m = self.tracker.map
         valid = np.asarray(m.kf_valid)
-        ts = np.asarray(m.kf_timestamp)
+        # host-side float64 timestamps (the on-device copy is f32, which
+        # quantizes TUM epoch stamps to ~128s)
+        ts = self.tracker.kf_ts_host
         poses = np.asarray(m.kf_pose)
         idx = np.where(valid)[0]
         traj.save_tum(path, ts[idx].tolist(), [poses[i] for i in idx])
 
     # -- map save/load (real, unlike the reference's TODO) -------------------
     def save_map(self, path):
+        self.tracker._flush_all()
         m = self.tracker.map
         np.savez_compressed(
             path,

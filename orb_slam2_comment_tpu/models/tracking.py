@@ -16,9 +16,12 @@ reference's control flow without its mutexes.
 
 from __future__ import annotations
 
+import collections
 import functools
+import queue
+import threading
 from dataclasses import dataclass
-from typing import Optional
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -224,6 +227,30 @@ def _create_keyframe_kernel(
     max_new: int = 256,
     create_all_depth: bool = False,
 ):
+    return _create_kf_core(
+        m, slot, pt_base, frame_id, timestamp, Tcw, feats, uright, depth,
+        assoc, parent, cfg, max_new, create_all_depth,
+        enabled=jnp.asarray(True),
+    )
+
+
+def _create_kf_core(
+    m: ms.MapState,
+    slot: jax.Array,
+    pt_base: jax.Array,
+    frame_id: jax.Array,
+    timestamp: jax.Array,
+    Tcw: jax.Array,
+    feats,
+    uright: jax.Array,
+    depth: jax.Array,
+    assoc: jax.Array,
+    parent: jax.Array,
+    cfg: SlamConfig,
+    max_new: int = 256,
+    create_all_depth: bool = False,
+    enabled: jax.Array = None,
+):
     """Insert a keyframe and spawn close stereo/RGBD points.
 
     Mirrors Tracking::CreateNewKeyFrame (src/Tracking.cc:1063-1141): new
@@ -234,8 +261,10 @@ def _create_keyframe_kernel(
     """
     n = feats.xy.shape[0]
     pmax = m.pt_pos.shape[0]
+    if enabled is None:
+        enabled = jnp.asarray(True)
 
-    cand = feats.valid & (depth > 0) & (assoc < 0)
+    cand = feats.valid & (depth > 0) & (assoc < 0) & enabled
     if not create_all_depth:
         # take closest first; the reference stops once it has added 100
         # points closer than th_depth (or at least the 100 closest)
@@ -301,20 +330,25 @@ def _create_keyframe_kernel(
     kf_obs_row = kf_obs_row.at[feat_idx].set(
         jnp.where(take, new_ids_c, kf_obs_row[feat_idx])
     )
+    def put_row(arr, new):
+        old = arr[slot]
+        sel = jnp.reshape(enabled, (1,) * old.ndim) if old.ndim else enabled
+        return arr.at[slot].set(jnp.where(sel, new, old))
+
     m = m._replace(
-        kf_pose=m.kf_pose.at[slot].set(Tcw),
-        kf_valid=m.kf_valid.at[slot].set(True),
-        kf_frame_id=m.kf_frame_id.at[slot].set(frame_id),
-        kf_timestamp=m.kf_timestamp.at[slot].set(timestamp),
-        kf_xy=m.kf_xy.at[slot].set(feats.xy),
-        kf_octave=m.kf_octave.at[slot].set(feats.octave),
-        kf_angle=m.kf_angle.at[slot].set(feats.angle),
-        kf_uright=m.kf_uright.at[slot].set(uright),
-        kf_depth=m.kf_depth.at[slot].set(depth),
-        kf_desc=m.kf_desc.at[slot].set(feats.desc),
-        kf_feat_valid=m.kf_feat_valid.at[slot].set(feats.valid),
-        kf_obs=m.kf_obs.at[slot].set(kf_obs_row),
-        kf_parent=m.kf_parent.at[slot].set(parent),
+        kf_pose=put_row(m.kf_pose, Tcw),
+        kf_valid=put_row(m.kf_valid, True),
+        kf_frame_id=put_row(m.kf_frame_id, frame_id),
+        kf_timestamp=put_row(m.kf_timestamp, timestamp),
+        kf_xy=put_row(m.kf_xy, feats.xy),
+        kf_octave=put_row(m.kf_octave, feats.octave),
+        kf_angle=put_row(m.kf_angle, feats.angle),
+        kf_uright=put_row(m.kf_uright, uright),
+        kf_depth=put_row(m.kf_depth, depth),
+        kf_desc=put_row(m.kf_desc, feats.desc),
+        kf_feat_valid=put_row(m.kf_feat_valid, feats.valid),
+        kf_obs=put_row(m.kf_obs, kf_obs_row),
+        kf_parent=put_row(m.kf_parent, parent),
     )
     return m, jnp.sum(take), kf_obs_row
 
@@ -370,6 +404,27 @@ N_STATS = 13
 
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
 def _track_frame_fused(
+    m: ms.MapState,
+    feats,
+    uright: jax.Array,
+    depth: jax.Array,
+    T_pred: jax.Array,
+    T_last: jax.Array,
+    have_velocity: jax.Array,
+    last_assoc: jax.Array,
+    ref_kf: jax.Array,
+    frame_id: jax.Array,
+    last_kf_frame_id: jax.Array,
+    n_kfs: jax.Array,
+    cfg: SlamConfig,
+):
+    return _track_core(
+        m, feats, uright, depth, T_pred, T_last, have_velocity, last_assoc,
+        ref_kf, frame_id, last_kf_frame_id, n_kfs, cfg,
+    )
+
+
+def _track_core(
     m: ms.MapState,
     feats,
     uright: jax.Array,
@@ -510,6 +565,152 @@ def _relative_to_kf(Tcw, kf_pose):
 
 
 # ---------------------------------------------------------------------------
+# whole-frame device program (frame build + track + keyframe creation)
+#
+# The TPU here is remote-attached: every program dispatch costs ~3ms of
+# tunnel overhead and every host pull ~26ms of round-trip. The per-frame
+# pipeline is therefore ONE jitted program per sensor — ORB extraction,
+# depth, tracking, the keyframe policy AND keyframe creation — carrying a
+# small device-resident tracker state. The host never blocks: a puller
+# thread drains one packed stats vector per frame and the host state
+# machine (LOST handling, local mapping, loop closing) runs a frame or two
+# behind, exactly like the reference's mapping/loop threads lag its
+# tracking thread (src/System.cc:84-103).
+# ---------------------------------------------------------------------------
+
+class DeviceTrackState(NamedTuple):
+    T_last: jax.Array            # [4,4] last tracked pose
+    velocity: jax.Array          # [4,4] constant-velocity model
+    have_vel: jax.Array          # scalar bool
+    last_assoc: jax.Array        # [N] last frame's point associations
+    ref_kf: jax.Array            # scalar int32
+    n_kfs: jax.Array             # scalar int32
+    n_pts: jax.Array             # scalar int32 point-slot cursor
+    last_kf_frame_id: jax.Array  # scalar int32
+
+
+# packed per-frame output vector layout (appended after stats[N_STATS])
+X_KF_SLOT = N_STATS + 0   # created keyframe slot, or -1
+X_REF_KF = N_STATS + 1    # reference KF after this frame
+X_N_KFS = N_STATS + 2
+X_N_PTS = N_STATS + 3
+X_TRACKED = N_STATS + 4   # final tracked flag (incl. recent-reloc gate)
+X_TCW = N_STATS + 5       # 16 floats
+X_TCR = N_STATS + 21      # 16 floats
+OUT_LEN = N_STATS + 37
+
+
+def _frame_step_core(m, ds: DeviceTrackState, feats, uright, depth, meta, cfg):
+    """Track + keyframe policy + (masked) keyframe creation, all on device.
+
+    meta: [3] f32 = (frame_id, timestamp, frames_since_relocalization).
+    Returns (m', ds', out[OUT_LEN]).
+    """
+    frame_id = meta[0].astype(jnp.int32)
+    timestamp = meta[1]
+    since_reloc = meta[2].astype(jnp.int32)
+
+    T_pred = jnp.where(
+        ds.have_vel, geo.orthonormalize_T(ds.velocity @ ds.T_last), ds.T_last
+    )
+    m, Tcw, assoc, stats = _track_core(
+        m, feats, uright, depth, T_pred, ds.T_last, ds.have_vel,
+        ds.last_assoc, ds.ref_kf, frame_id, ds.last_kf_frame_id, ds.n_kfs, cfg,
+    )
+    tracked = stats[S_TRACKED] > 0
+    # recently-relocalized frames require the stricter inlier floor
+    # (Tracking.cc:967-971)
+    reloc_gate = (since_reloc < int(cfg.fps)) & (
+        stats[S_N_INL] < C.TRACK_LOCAL_MAP_MIN_INLIERS_RECENT_RELOC
+    )
+    tracked = tracked & ~reloc_gate
+
+    best_local = stats[S_BEST_LOCAL].astype(jnp.int32)
+    coarse_ok = stats[S_COARSE_OK] > 0
+    ref1 = jnp.where(coarse_ok & (best_local >= 0), best_local, ds.ref_kf)
+
+    need_kf = (stats[S_NEED_KF] > 0) & tracked
+    slot = ds.n_kfs
+    m, n_created, kf_obs_row = _create_kf_core(
+        m, slot, ds.n_pts, frame_id, timestamp, Tcw, feats, uright, depth,
+        assoc, ref1, cfg, enabled=need_kf,
+    )
+    assoc_after = jnp.where(need_kf, kf_obs_row, assoc)
+    ref2 = jnp.where(need_kf, slot, ref1)
+
+    ds2 = DeviceTrackState(
+        T_last=jnp.where(tracked, Tcw, ds.T_last),
+        velocity=jnp.where(
+            tracked, geo.orthonormalize_T(Tcw @ geo.inv_T(ds.T_last)), ds.velocity
+        ),
+        have_vel=tracked,
+        last_assoc=jnp.where(tracked, assoc_after, ds.last_assoc),
+        ref_kf=ref2,
+        n_kfs=ds.n_kfs + need_kf.astype(jnp.int32),
+        n_pts=ds.n_pts + n_created.astype(jnp.int32),
+        last_kf_frame_id=jnp.where(need_kf, frame_id, ds.last_kf_frame_id),
+    )
+    kmax = m.kf_pose.shape[0]
+    Tcr = Tcw @ geo.inv_T(m.kf_pose[jnp.clip(ref2, 0, kmax - 1)])
+    out = jnp.concatenate([
+        stats,
+        jnp.stack([
+            jnp.where(need_kf, slot, -1).astype(jnp.float32),
+            ref2.astype(jnp.float32),
+            ds2.n_kfs.astype(jnp.float32),
+            ds2.n_pts.astype(jnp.float32),
+            tracked.astype(jnp.float32),
+        ]),
+        Tcw.reshape(-1).astype(jnp.float32),
+        Tcr.reshape(-1).astype(jnp.float32),
+    ])
+    return m, ds2, out
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0, 1))
+def _frame_step_rgbd(m, ds, image, depth_map, meta, cfg: SlamConfig):
+    from orb_slam2_comment_tpu.models.frame import undistort_points
+    from orb_slam2_comment_tpu.ops import orb, stereo
+
+    feats, _ = orb._extract_impl(image, cfg.orb, (cfg.height, cfg.width))
+    d = stereo.sample_depth_at(depth_map, feats.xy)
+    if cfg.depth_map_factor != 1.0:
+        d = d / cfg.depth_map_factor
+    uright, depth = stereo.depth_to_uright(feats.xy, d, cfg.bf)
+    feats = feats._replace(xy=undistort_points(feats.xy, cfg))
+    return _frame_step_core(m, ds, feats, uright, depth, meta, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0, 1))
+def _frame_step_stereo(m, ds, image_l, image_r, meta, cfg: SlamConfig):
+    from orb_slam2_comment_tpu.models.frame import undistort_points
+    from orb_slam2_comment_tpu.ops import orb, stereo
+
+    feats_l, pyr_l = orb._extract_impl(image_l, cfg.orb, (cfg.height, cfg.width))
+    feats_r, pyr_r = orb._extract_impl(image_r, cfg.orb, (cfg.height, cfg.width))
+    uright, depth = stereo.stereo_match(
+        feats_l, feats_r, pyr_l, pyr_r, tuple(cfg.orb.scales), cfg.bf,
+        min_z=cfg.baseline, n_levels=cfg.n_levels,
+        th_stereo=min(75.0 * cfg.match_th_scale, 100.0),
+    )
+    feats_l = feats_l._replace(xy=undistort_points(feats_l.xy, cfg))
+    return _frame_step_core(m, ds, feats_l, uright, depth, meta, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0, 1))
+def _frame_step_mono(m, ds, image, meta, cfg: SlamConfig):
+    from orb_slam2_comment_tpu.models.frame import undistort_points
+    from orb_slam2_comment_tpu.ops import orb
+
+    feats, _ = orb._extract_impl(image, cfg.orb, (cfg.height, cfg.width))
+    n = feats.xy.shape[0]
+    feats = feats._replace(xy=undistort_points(feats.xy, cfg))
+    uright = jnp.full((n,), -1.0)
+    depth = jnp.full((n,), -1.0)
+    return _frame_step_core(m, ds, feats, uright, depth, meta, cfg)
+
+
+# ---------------------------------------------------------------------------
 # host-side tracker
 # ---------------------------------------------------------------------------
 
@@ -523,8 +724,55 @@ class TrackOutput:
     ref_kf: int = -1
 
 
+class LazyTrackOutput:
+    """Handle returned by the async fused pipeline. Field access forces
+    resolution of the frame's device stats (a host sync) — readers that
+    only need throughput never touch the fields and never block."""
+
+    __slots__ = ("_trk", "_fid")
+
+    def __init__(self, trk, fid):
+        self._trk = trk
+        self._fid = fid
+
+    def _get(self) -> TrackOutput:
+        self._trk._flush_upto(self._fid)
+        out = self._trk._resolved.get(self._fid)
+        if out is None:  # resolved earlier and trimmed; synthesize from state
+            t = self._trk
+            return TrackOutput(t.state, t.last_Tcw, t.n_last_inliers, False,
+                               ref_kf=t.ref_kf)
+        return out
+
+    @property
+    def state(self):
+        return self._get().state
+
+    @property
+    def Tcw(self):
+        return self._get().Tcw
+
+    @property
+    def n_inliers(self):
+        return self._get().n_inliers
+
+    @property
+    def created_kf(self):
+        return self._get().created_kf
+
+    @property
+    def relative_to_kf(self):
+        return self._get().relative_to_kf
+
+    @property
+    def ref_kf(self):
+        return self._get().ref_kf
+
+
 class Tracker:
     """Host orchestrator owning the map and the tracking state machine."""
+
+    MAX_LAG = 3  # frames the host state machine may trail the device
 
     def __init__(self, cfg: SlamConfig):
         self.cfg = cfg
@@ -544,6 +792,181 @@ class Tracker:
         self.new_kf_callbacks = []   # local-mapping hook
         self.reloc_fn = None         # relocalization hook (set by System)
         self.n_last_inliers = 0
+        self.trajectory = []         # (timestamp, Tcr, ref_kf, state)
+        self.kf_ts_host = np.zeros(cfg.max_keyframes, np.float64)
+        # async fused-pipeline state
+        self.ds: Optional[DeviceTrackState] = None
+        self._pending = collections.deque()   # (frame_id, ts, out_array)
+        self._resolved = {}                   # frame_id -> TrackOutput
+        self._results = {}                    # frame_id -> np stats
+        self._pull_q = queue.Queue()
+        self._puller = threading.Thread(target=self._pull_worker, daemon=True)
+        self._puller.start()
+
+    # -- async plumbing ------------------------------------------------------
+    def _pull_worker(self):
+        while True:
+            item = self._pull_q.get()
+            if item is None:
+                return
+            fid, arr = item
+            try:
+                self._results[fid] = np.asarray(arr)
+            except Exception as e:  # pragma: no cover - surfaced at flush
+                self._results[fid] = e
+
+    def _flush_ready(self, max_lag: Optional[int] = None):
+        """Resolve pending frames whose stats have arrived; force-resolve
+        (blocking pull) anything older than max_lag frames."""
+        if max_lag is None:
+            max_lag = self.MAX_LAG
+        while self._pending:
+            fid, ts, out = self._pending[0]
+            res = self._results.pop(fid, None)
+            if res is None:
+                if len(self._pending) > max_lag:
+                    res = np.asarray(out)
+                else:
+                    break
+            if isinstance(res, Exception):
+                raise res
+            self._pending.popleft()
+            self._resolve_entry(fid, ts, res)
+
+    def _flush_upto(self, fid: int):
+        while self._pending and self._pending[0][0] <= fid:
+            f, ts, out = self._pending.popleft()
+            res = self._results.pop(f, None)
+            if res is None:
+                res = np.asarray(out)
+            if isinstance(res, Exception):
+                raise res
+            self._resolve_entry(f, ts, res)
+
+    def _flush_all(self):
+        self._flush_upto(1 << 60)
+
+    def _resolve_entry(self, fid: int, ts: float, s: np.ndarray):
+        """Host state-machine update from one frame's packed stats —
+        the lagged equivalent of the reference's per-frame bookkeeping
+        (Tracking.cc:423-504)."""
+        tracked = s[X_TRACKED] > 0
+        Tcw = s[X_TCW:X_TCW + 16].reshape(4, 4).copy()
+        Tcr = s[X_TCR:X_TCR + 16].reshape(4, 4).copy()
+        self.n_kfs = int(s[X_N_KFS])
+        ref = int(s[X_REF_KF])
+        self.ref_kf = ref
+        self.n_last_inliers = int(s[S_N_INL])
+        kf_slot = int(s[X_KF_SLOT])
+        if tracked:
+            self.state = OK
+            self.last_Tcw = Tcw
+            self.trajectory.append((ts, Tcr, ref, OK))
+        else:
+            self.state = LOST
+            self.velocity = None
+        if kf_slot >= 0:
+            self.kf_ts_host[kf_slot] = ts
+            self.last_kf_frame_id = fid
+            self.n_pts_dev = self.ds.n_pts
+            for cb in self.new_kf_callbacks:
+                cb(kf_slot)
+            if self.ds is not None:
+                # local mapping may have advanced the point cursor
+                self.ds = self.ds._replace(
+                    n_pts=jnp.asarray(self.n_pts_dev, jnp.int32)
+                    if np.isscalar(self.n_pts_dev)
+                    else self.n_pts_dev
+                )
+        out = TrackOutput(
+            state=self.state,
+            Tcw=Tcw if tracked else None,
+            n_inliers=self.n_last_inliers,
+            created_kf=kf_slot >= 0,
+            relative_to_kf=Tcr if tracked else None,
+            ref_kf=ref,
+        )
+        self._resolved[fid] = out
+        if len(self._resolved) > 32:
+            for k in sorted(self._resolved)[:-16]:
+                del self._resolved[k]
+
+    def _sync_ds_from_host(self, frame: Frame):
+        """Rebuild the device tracker state after a host-path transition
+        (initialization, staged retry, relocalization)."""
+        vel = self.velocity if self.velocity is not None else np.eye(4)
+        self.ds = DeviceTrackState(
+            T_last=jnp.asarray(frame.Tcw, jnp.float32).reshape(4, 4),
+            velocity=jnp.asarray(vel, jnp.float32).reshape(4, 4),
+            have_vel=jnp.asarray(self.velocity is not None),
+            last_assoc=jnp.asarray(frame.assoc, jnp.int32),
+            ref_kf=jnp.asarray(self.ref_kf, jnp.int32),
+            n_kfs=jnp.asarray(self.n_kfs, jnp.int32),
+            n_pts=jnp.asarray(self.n_pts_dev, jnp.int32)
+            if np.isscalar(self.n_pts_dev) else self.n_pts_dev.astype(jnp.int32),
+            last_kf_frame_id=jnp.asarray(self.last_kf_frame_id, jnp.int32),
+        )
+
+    # -- fused async entry points -------------------------------------------
+    def _fused_ok(self):
+        return (
+            self.cfg.fused_tracking and self.state == OK and self.ds is not None
+        )
+
+    def _dispatch_fused(self, step_fn, frame_id, ts, *arrays):
+        meta = jnp.asarray(
+            np.asarray(
+                [frame_id, ts, frame_id - self.last_reloc_frame_id], np.float32
+            )
+        )
+        self.map, self.ds, out = step_fn(
+            self.map, self.ds, *arrays, meta, self.cfg
+        )
+        self.n_pts_dev = self.ds.n_pts
+        self._pending.append((frame_id, ts, out))
+        self._pull_q.put((frame_id, out))
+        return LazyTrackOutput(self, frame_id)
+
+    def track_rgbd_arrays(self, frame_id, ts, image, depth_map):
+        self._flush_ready()
+        if self._fused_ok():
+            return self._dispatch_fused(
+                _frame_step_rgbd, frame_id, ts,
+                jnp.asarray(image, jnp.float32),
+                jnp.asarray(depth_map, jnp.float32),
+            )
+        from orb_slam2_comment_tpu.models import frame as fr
+
+        self._flush_all()
+        return self.track(
+            fr.build_frame_rgbd(frame_id, ts, image, depth_map, self.cfg)
+        )
+
+    def track_stereo_arrays(self, frame_id, ts, image_l, image_r):
+        self._flush_ready()
+        if self._fused_ok():
+            return self._dispatch_fused(
+                _frame_step_stereo, frame_id, ts,
+                jnp.asarray(image_l, jnp.float32),
+                jnp.asarray(image_r, jnp.float32),
+            )
+        from orb_slam2_comment_tpu.models import frame as fr
+
+        self._flush_all()
+        return self.track(
+            fr.build_frame_stereo(frame_id, ts, image_l, image_r, self.cfg)
+        )
+
+    def track_mono_arrays(self, frame_id, ts, image):
+        self._flush_ready()
+        if self._fused_ok():
+            return self._dispatch_fused(
+                _frame_step_mono, frame_id, ts, jnp.asarray(image, jnp.float32)
+            )
+        from orb_slam2_comment_tpu.models import frame as fr
+
+        self._flush_all()
+        return self.track(fr.build_frame_mono(frame_id, ts, image, self.cfg))
 
     def _n_slots(self):
         budgets = self.cfg.orb.level_budgets()
@@ -561,6 +984,24 @@ class Tracker:
 
     # -- public API --------------------------------------------------------
     def track(self, frame: Frame) -> TrackOutput:
+        self._flush_all()
+        out = self._track_host(frame)
+        # record trajectory (Tracking.cc:488-504); fused frames record at
+        # resolve time instead
+        if out.Tcw is not None and out.relative_to_kf is not None:
+            self.trajectory.append(
+                (frame.timestamp, np.asarray(out.relative_to_kf), out.ref_kf,
+                 out.state)
+            )
+        elif out.Tcw is not None:
+            self.trajectory.append(
+                (frame.timestamp, np.eye(4), out.ref_kf, out.state)
+            )
+        if self.state == OK and self.cfg.fused_tracking:
+            self._sync_ds_from_host(frame)
+        return out
+
+    def _track_host(self, frame: Frame) -> TrackOutput:
         cfg = self.cfg
         if self.state in (NO_IMAGES_YET, NOT_INITIALIZED):
             if cfg.sensor == MONOCULAR:
@@ -724,6 +1165,7 @@ class Tracker:
         frame.assoc = kf_obs_row
         self.ref_kf = 0
         self.last_kf_frame_id = frame.frame_id
+        self.kf_ts_host[0] = frame.timestamp
         self.last_Tcw = np.eye(4, dtype=np.float32)
         self.last_frame = frame
         for cb in self.new_kf_callbacks:
@@ -865,5 +1307,6 @@ class Tracker:
         frame.assoc = kf_obs_row
         self.ref_kf = slot
         self.last_kf_frame_id = frame.frame_id
+        self.kf_ts_host[slot] = frame.timestamp
         for cb in self.new_kf_callbacks:
             cb(slot)

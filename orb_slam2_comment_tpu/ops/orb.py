@@ -82,12 +82,10 @@ def _brief_pattern(
 
 _PATTERN = _brief_pattern()
 
-# radius-15 disk mask and coordinate grids for IC_Angle
+# radius-15 disk for IC_Angle: per-row half-width (the reference's umax
+# table, src/ORBextractor.cc:410-470, in closed form)
 _R = C.HALF_PATCH_SIZE
-_dy, _dx = np.mgrid[-_R:_R + 1, -_R:_R + 1]
-_DISK = ((_dx * _dx + _dy * _dy) <= _R * _R).astype(np.float32)
-_DISK_X = (_dx * _DISK).astype(np.float32)
-_DISK_Y = (_dy * _DISK).astype(np.float32)
+_DISK_W = [int(math.floor(math.sqrt(_R * _R - dy * dy))) for dy in range(_R + 1)]
 
 # 7x7 sigma=2 Gaussian (separable), matching cv::GaussianBlur(7,7,2,2)
 _g = np.exp(-0.5 * (np.arange(-3, 4) / 2.0) ** 2)
@@ -198,18 +196,59 @@ def _nms3(score: jax.Array) -> jax.Array:
 
 
 def _blur7(img: jax.Array) -> jax.Array:
-    """Separable 7x7 sigma=2 Gaussian blur (src/ORBextractor.cc:1086)."""
-    k = jnp.asarray(_GAUSS7)
-    x = img[None, None]  # [1,1,H,W]
-    x = jax.lax.conv_general_dilated(
-        x, k.reshape(1, 1, 7, 1), (1, 1), [(3, 3), (0, 0)],
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )
-    x = jax.lax.conv_general_dilated(
-        x, k.reshape(1, 1, 1, 7), (1, 1), [(0, 0), (3, 3)],
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )
-    return x[0, 0]
+    """Separable 7x7 sigma=2 Gaussian blur (src/ORBextractor.cc:1086).
+
+    Shift-and-add instead of conv: a 1-channel NCHW conv cannot use the
+    MXU and runs ~70x slower on TPU (measured 3.6ms vs 0.05ms at 480x640);
+    14 fused multiply-adds on the dense map are pure VPU work.
+    """
+    h, w = img.shape
+    p = jnp.pad(img, ((3, 3), (0, 0)))
+    v = sum(float(_GAUSS7[i]) * p[i:i + h, :] for i in range(7))
+    p2 = jnp.pad(v, ((0, 0), (3, 3)))
+    return sum(float(_GAUSS7[i]) * p2[:, i:i + w] for i in range(7))
+
+
+def _moment_maps(img: jax.Array):
+    """Dense IC_Angle moments (m10, m01) over the radius-15 disk at every
+    pixel (src/ORBextractor.cc:77-106), via row cumulative sums.
+
+    For each row offset dy the disk contributes a centered window of
+    half-width w(dy); window sums come from one prefix-sum per row
+    (box filter) and x-weighted sums from a second prefix-sum of x*I.
+    This replaces the [N,31,31] patch gather (TPU gathers serialize; the
+    dense formulation is ~50 vector ops + 2 cumsums).
+    """
+    h, w = img.shape
+    P = jnp.pad(img, _R)  # zero pad; keypoints are >= EDGE_THRESHOLD inside
+    hp, wp = h + 2 * _R, w + 2 * _R
+    # prefix sums along x with a leading zero column: sum over [a..b] is
+    # Cz[:, b+1] - Cz[:, a]
+    zero = jnp.zeros((hp, 1), img.dtype)
+    Cz = jnp.concatenate([zero, jnp.cumsum(P, axis=1)], axis=1)
+    xabs = jnp.arange(wp, dtype=img.dtype)
+    Tz = jnp.concatenate([zero, jnp.cumsum(P * xabs, axis=1)], axis=1)
+    xc = jnp.arange(w, dtype=img.dtype) + _R  # output centers, padded coords
+
+    def win(A, row0, wd):
+        # A[row0 : row0+h, xc-wd .. xc+wd] summed along x, for all outputs
+        blk = A[row0:row0 + h]
+        return blk[:, _R + wd + 1:_R + wd + 1 + w] - blk[:, _R - wd:_R - wd + w]
+
+    m10 = jnp.zeros((h, w), img.dtype)
+    m01 = jnp.zeros((h, w), img.dtype)
+    for dy in range(0, _R + 1):
+        wd = _DISK_W[dy]
+        box_p = win(Cz, _R + dy, wd)
+        ramp_p = win(Tz, _R + dy, wd) - xc[None, :] * box_p
+        if dy == 0:
+            m10 = m10 + ramp_p
+        else:
+            box_m = win(Cz, _R - dy, wd)
+            ramp_m = win(Tz, _R - dy, wd) - xc[None, :] * box_m
+            m10 = m10 + ramp_p + ramp_m
+            m01 = m01 + dy * (box_p - box_m)
+    return m10, m01
 
 
 def _resize_level(img: jax.Array, hw) -> jax.Array:
@@ -255,25 +294,21 @@ def _ic_angle(img: jax.Array, xy: jax.Array) -> jax.Array:
     xy: [N,2] int level coords. Border must already be respected.
     """
     h, w = img.shape
+    m10, m01 = _moment_maps(img)
     x = jnp.clip(xy[:, 0], _R, w - 1 - _R)
     y = jnp.clip(xy[:, 1], _R, h - 1 - _R)
-    yy = y[:, None, None] + jnp.asarray(_dy)[None]
-    xx = x[:, None, None] + jnp.asarray(_dx)[None]
-    patch = img[yy, xx]  # [N, 31, 31]
-    m10 = jnp.sum(patch * jnp.asarray(_DISK_X), axis=(1, 2))
-    m01 = jnp.sum(patch * jnp.asarray(_DISK_Y), axis=(1, 2))
-    return jnp.arctan2(m01, m10)
+    return jnp.arctan2(m01[y, x], m10[y, x])
 
 
-def _descriptors(blurred: jax.Array, xy: jax.Array, angle: jax.Array) -> jax.Array:
-    """Rotated binary test pattern on the blurred level image.
+def _rotated_test_indices(xy, angle, wl, hl, base):
+    """Flat sample indices of the rotated BRIEF test pattern.
 
-    Returns [N, 8] uint32 packed descriptors
-    (computeOrbDescriptor, src/ORBextractor.cc:108-148).
+    xy: [N,2] int level coords; wl/hl/base: [N] per-keypoint level width,
+    height and flat offset into the concatenated pyramid. Returns [N, 512]
+    int32 (256 first endpoints, then 256 second endpoints).
     """
-    h, w = blurred.shape
     pat = jnp.asarray(_PATTERN, jnp.float32)  # [256, 4]
-    ca, sa = jnp.cos(angle), jnp.sin(angle)  # [N]
+    ca, sa = jnp.cos(angle), jnp.sin(angle)   # [N]
 
     def rot(px, py):
         rx = jnp.round(ca[:, None] * px[None] - sa[:, None] * py[None]).astype(jnp.int32)
@@ -283,13 +318,11 @@ def _descriptors(blurred: jax.Array, xy: jax.Array, angle: jax.Array) -> jax.Arr
     r1x, r1y = rot(pat[:, 0], pat[:, 1])
     r2x, r2y = rot(pat[:, 2], pat[:, 3])
     x0, y0 = xy[:, 0][:, None], xy[:, 1][:, None]
-    gx1 = jnp.clip(x0 + r1x, 0, w - 1)
-    gy1 = jnp.clip(y0 + r1y, 0, h - 1)
-    gx2 = jnp.clip(x0 + r2x, 0, w - 1)
-    gy2 = jnp.clip(y0 + r2y, 0, h - 1)
-    i1 = blurred[gy1, gx1]  # [N, 256]
-    i2 = blurred[gy2, gx2]
-    return pack_bits(i1 < i2)
+    rx = jnp.concatenate([r1x, r2x], axis=1)  # [N, 512]
+    ry = jnp.concatenate([r1y, r2y], axis=1)
+    gx = jnp.clip(x0 + rx, 0, wl[:, None] - 1)
+    gy = jnp.clip(y0 + ry, 0, hl[:, None] - 1)
+    return base[:, None] + gy * wl[:, None] + gx
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "shape"))
@@ -299,8 +332,13 @@ def _extract_impl(image: jax.Array, cfg: ORBConfig, shape):
     budgets = cfg.level_budgets()
     margin = C.EDGE_THRESHOLD
 
-    out = []
-    pyramid = []
+    # Per-level dense stages (score/NMS/select, blur, moment maps) are all
+    # vector work; the two gather stages (orientation lookup, descriptor
+    # sampling) are fused ACROSS levels into single gathers over the
+    # flattened concatenated pyramid — TPU gathers have a large fixed cost,
+    # so 2 big gathers beat 16 per-level ones by ~an order of magnitude.
+    xy_lvl, resp_all, valid_all = [], [], []
+    pyramid, blur_flat, mom_flat = [], [], []
     level_img = image
     for lvl in range(cfg.n_levels):
         if lvl > 0:
@@ -315,28 +353,64 @@ def _extract_impl(image: jax.Array, cfg: ORBConfig, shape):
         score = jnp.where(inb, score, 0.0)
         score = _nms3(score)
         xy_l, resp, valid = _select_keypoints(score, budgets[lvl], cfg.cell, cfg.min_th)
-        ang = _ic_angle(level_img, xy_l)
-        desc = _descriptors(_blur7(level_img), xy_l, ang)
-        scale = cfg.scales[lvl]
-        xy0 = xy_l.astype(jnp.float32) * scale
-        out.append(
-            (
-                xy0,
-                resp,
-                ang,
-                jnp.full((budgets[lvl],), lvl, jnp.int32),
-                desc,
-                valid,
-            )
-        )
+        xy_lvl.append(xy_l)
+        resp_all.append(resp)
+        valid_all.append(valid)
+        m10, m01 = _moment_maps(level_img)
+        mom_flat.append(jnp.stack([m10, m01], axis=-1).reshape(-1, 2))
+        blur_flat.append(_blur7(level_img).reshape(-1))
 
+    # static per-slot level geometry (slots are laid out level-major)
+    n_lvls = cfg.n_levels
+    wl_np = np.concatenate(
+        [np.full(budgets[l], sizes[l][1], np.int32) for l in range(n_lvls)]
+    )
+    hl_np = np.concatenate(
+        [np.full(budgets[l], sizes[l][0], np.int32) for l in range(n_lvls)]
+    )
+    base_np = np.concatenate(
+        [
+            np.full(budgets[l], off, np.int32)
+            for l, off in zip(
+                range(n_lvls),
+                np.concatenate(
+                    [[0], np.cumsum([sizes[l][0] * sizes[l][1] for l in range(n_lvls)])]
+                )[:-1],
+            )
+        ]
+    )
+    wl, hl, base = jnp.asarray(wl_np), jnp.asarray(hl_np), jnp.asarray(base_np)
+    xy_all = jnp.concatenate(xy_lvl)                       # [N, 2] level coords
+
+    # orientation: one [N,2] gather from the concatenated moment maps
+    mom_cat = jnp.concatenate(mom_flat)                    # [sum hw, 2]
+    x_c = jnp.clip(xy_all[:, 0], _R, wl - 1 - _R)
+    y_c = jnp.clip(xy_all[:, 1], _R, hl - 1 - _R)
+    mm = mom_cat[base + y_c * wl + x_c]
+    ang_all = jnp.arctan2(mm[:, 1], mm[:, 0])
+
+    # descriptors: one [N,512] gather from the concatenated blurred pyramid
+    blur_cat = jnp.concatenate(blur_flat)                  # [sum hw]
+    test_idx = _rotated_test_indices(xy_all, ang_all, wl, hl, base)
+    vals = blur_cat[test_idx]                              # [N, 512]
+    i1, i2 = vals[:, :256], vals[:, 256:]
+    desc_all = pack_bits(i1 < i2)
+
+    scale_per_slot = jnp.asarray(
+        np.concatenate(
+            [np.full(budgets[l], cfg.scales[l], np.float32) for l in range(n_lvls)]
+        )
+    )
+    oct_all = jnp.asarray(
+        np.concatenate([np.full(budgets[l], l, np.int32) for l in range(n_lvls)])
+    )
     feats = FrameFeatures(
-        xy=jnp.concatenate([o[0] for o in out]),
-        response=jnp.concatenate([o[1] for o in out]),
-        angle=jnp.concatenate([o[2] for o in out]),
-        octave=jnp.concatenate([o[3] for o in out]),
-        desc=jnp.concatenate([o[4] for o in out]),
-        valid=jnp.concatenate([o[5] for o in out]),
+        xy=xy_all.astype(jnp.float32) * scale_per_slot[:, None],
+        response=jnp.concatenate(resp_all),
+        angle=ang_all,
+        octave=oct_all,
+        desc=desc_all,
+        valid=jnp.concatenate(valid_all),
     )
     return feats, pyramid
 
