@@ -39,16 +39,22 @@ def main():
         max_keyframes=128,
         max_points=32768,
         match_th_scale=1.5,
+        depth_map_factor=1000.0,  # uint16 depth in mm, as TUM PNGs arrive
     )
     # indoor close-range scene (TUM fr1-like): most landmarks inside the
     # close-point threshold so the keyframe policy behaves as on the
     # reference's 30fps RGB-D sequences
     scene = syn.make_scene(n_points=1600, seed=0, extent=(6.0, 4.0, 6.0), z_near=1.0)
     poses = syn.make_trajectory("jitter", n_frames=n_frames, step=0.04)
-    # pre-render so host rendering stays out of the timed region
-    frames = list(
-        syn.render_sequence(scene, poses, K=K, depth=True)
-    )
+    # pre-render so host rendering stays out of the timed region; convert
+    # to the sensor-native dtypes a real driver would hand in (uint8 gray,
+    # uint16 depth in mm — TUM PNG format) so the host->device transfer is
+    # honest about what a camera provides
+    frames = []
+    for f in syn.render_sequence(scene, poses, K=K, depth=True):
+        f["image"] = np.clip(f["image"], 0, 255).astype(np.uint8)
+        f["depth"] = np.clip(f["depth"] * 1000.0, 0, 65535).astype(np.uint16)
+        frames.append(f)
     system = System(cfg)
 
     n_warm = 8  # first frames pay compiles (init/track/KF paths)

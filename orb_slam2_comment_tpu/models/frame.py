@@ -93,7 +93,7 @@ def build_frame_rgbd(
     cfg: SlamConfig,
 ) -> Frame:
     feats, pyr = orb.extract(jnp.asarray(image), cfg.orb)
-    d = stereo.sample_depth_at(jnp.asarray(depth_map), feats.xy)
+    d = stereo.sample_depth_at(jnp.asarray(depth_map), feats.xy).astype(jnp.float32)
     if cfg.depth_map_factor != 1.0:
         d = d / cfg.depth_map_factor
     uright, depth = stereo.depth_to_uright(feats.xy, d, cfg.bf)

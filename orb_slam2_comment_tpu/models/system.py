@@ -149,7 +149,7 @@ class System:
         tracking state."""
         cfg = self.cfg
         self.tracker._flush_all()
-        self.tracker._pull_q.put(None)  # stop the old puller thread
+        self.tracker._io_pool.shutdown(wait=False)  # stop the old pull pool
         self.tracker = Tracker(cfg)
         self.mapper = LocalMapper(cfg, self.tracker)
         self.tracker.new_kf_callbacks.append(self.mapper.process)

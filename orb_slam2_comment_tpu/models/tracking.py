@@ -17,9 +17,8 @@ reference's control flow without its mutexes.
 from __future__ import annotations
 
 import collections
+import concurrent.futures
 import functools
-import queue
-import threading
 from dataclasses import dataclass
 from typing import NamedTuple, Optional
 
@@ -188,8 +187,24 @@ def _select_local_map(m: ms.MapState, assoc: jax.Array):
         jnp.clip(obs_sel.reshape(-1), 0, pmax - 1)
     ].max((w[:, None] * (obs_sel >= 0)).reshape(-1))
     score = jnp.where(m.pt_valid, score, 0)
-    vals, ids = jax.lax.top_k(score, LOCAL_POINTS_CAP)
-    pt_ids = jnp.where(vals > 0, ids, -1)
+    mask = score > 0
+    n_cand = jnp.sum(mask)
+
+    def _compact(_):
+        # candidate count fits the cap: stream-compact by cumsum position
+        # (O(Pmax) scan + scatter) instead of a top_k over the whole point
+        # table, which costs ~1.3ms at Pmax=32768
+        pos = jnp.cumsum(mask) - 1
+        dst = jnp.where(mask, jnp.minimum(pos, LOCAL_POINTS_CAP), LOCAL_POINTS_CAP)
+        out = jnp.full((LOCAL_POINTS_CAP + 1,), -1, jnp.int32)
+        out = out.at[dst].set(jnp.arange(pmax, dtype=jnp.int32))
+        return out[:LOCAL_POINTS_CAP]
+
+    def _topk(_):
+        vals, ids = jax.lax.top_k(score, LOCAL_POINTS_CAP)
+        return jnp.where(vals > 0, ids, -1)
+
+    pt_ids = jax.lax.cond(n_cand <= LOCAL_POINTS_CAP, _compact, _topk, 0)
     return kf_ids, pt_ids
 
 
@@ -199,14 +214,22 @@ def _update_point_counters(m: ms.MapState, pt_ids, visible, assoc):
     inlier-associated points (Tracking::SearchLocalPoints + TrackLocalMap,
     src/Tracking.cc:930-975,1143-1193)."""
     pmax = m.pt_pos.shape[0]
+    # one fused scatter-add into a [Pmax, 2] accumulator (two separate
+    # scatters each pay the full scatter fixed cost)
     pid = jnp.clip(pt_ids, 0, pmax - 1)
-    vis_add = jnp.zeros(pmax, jnp.int32).at[pid].add(
-        (visible & (pt_ids >= 0)).astype(jnp.int32)
-    )
     aid = jnp.clip(assoc, 0, pmax - 1)
-    fnd_add = jnp.zeros(pmax, jnp.int32).at[aid].add((assoc >= 0).astype(jnp.int32))
+    idx = jnp.concatenate([pid, aid])
+    vis_upd = jnp.stack(
+        [(visible & (pt_ids >= 0)).astype(jnp.int32),
+         jnp.zeros_like(pid)], axis=-1,
+    )
+    fnd_upd = jnp.stack(
+        [jnp.zeros_like(aid), (assoc >= 0).astype(jnp.int32)], axis=-1
+    )
+    upd = jnp.concatenate([vis_upd, fnd_upd])
+    acc = jnp.zeros((pmax, 2), jnp.int32).at[idx].add(upd)
     return m._replace(
-        pt_visible=m.pt_visible + vis_add, pt_found=m.pt_found + fnd_add
+        pt_visible=m.pt_visible + acc[:, 0], pt_found=m.pt_found + acc[:, 1]
     )
 
 
@@ -438,6 +461,8 @@ def _track_core(
     last_kf_frame_id: jax.Array,
     n_kfs: jax.Array,
     cfg: SlamConfig,
+    obs_counts: jax.Array = None,  # [Pmax] cached per-point observation
+                                   # counts; recomputed only on map change
 ):
     """Returns (m', Tcw, assoc, stats[N_STATS] f32).
 
@@ -447,25 +472,54 @@ def _track_core(
     order without host round-trips.
     """
     th = 7.0 if cfg.sensor != MONOCULAR else 15.0
+    n_feat = feats.xy.shape[0]
 
     # --- branch 1: motion model (TrackWithMotionModel, :867-928) ---------
     assoc_m1, n_m1, _ = _match_against_points(
         m, last_assoc, T_pred, feats, uright, jnp.asarray(th), cfg,
         use_frustum_band=False,
     )
-    assoc_m2, n_m2, _ = _match_against_points(
-        m, last_assoc, T_pred, feats, uright, jnp.asarray(2.0 * th), cfg,
-        use_frustum_band=False,
+
+    # widened retry (Tracking.cc:888-892) only when the narrow search came
+    # up short — a real branch, because the retry is rare in steady state
+    def _wide_retry(_):
+        a2, n2, _ = _match_against_points(
+            m, last_assoc, T_pred, feats, uright, jnp.asarray(2.0 * th), cfg,
+            use_frustum_band=False,
+        )
+        return a2, n2
+
+    assoc_m, n_m = jax.lax.cond(
+        n_m1 < C.TRACK_MOTION_MIN_MATCHES,
+        _wide_retry,
+        lambda _: (assoc_m1, n_m1),
+        0,
     )
-    use_wide = n_m1 < C.TRACK_MOTION_MIN_MATCHES
-    assoc_m = jnp.where(use_wide, assoc_m2, assoc_m1)
-    n_m = jnp.where(use_wide, n_m2, n_m1)
     T_m, assoc_m, inl_m = _pose_opt_from_assoc(m, T_pred, feats, uright, assoc_m, cfg)
     motion_ok = have_velocity & (n_m >= C.TRACK_MOTION_MIN_MATCHES) & (inl_m >= 10)
 
     # --- branch 2: reference keyframe (TrackReferenceKeyFrame, :757-799) -
-    assoc_r, n_r = _match_ref_kf(m, ref_kf, feats, cfg)
-    T_r, assoc_r, inl_r = _pose_opt_from_assoc(m, T_last, feats, uright, assoc_r, cfg)
+    # only evaluated when the motion model failed (the reference's exact
+    # fallback order, Tracking.cc:342-352); skipping it saves ~1.5ms on
+    # every steady-state frame
+    def _ref_branch(_):
+        assoc_r, n_r = _match_ref_kf(m, ref_kf, feats, cfg)
+        T_r, assoc_r, inl_r = _pose_opt_from_assoc(
+            m, T_last, feats, uright, assoc_r, cfg
+        )
+        return T_r, assoc_r, inl_r, n_r
+
+    T_r, assoc_r, inl_r, n_r = jax.lax.cond(
+        motion_ok,
+        lambda _: (
+            T_last,
+            jnp.full((n_feat,), -1, assoc_m.dtype),
+            jnp.asarray(0, inl_m.dtype),
+            jnp.asarray(0, n_m.dtype),
+        ),
+        _ref_branch,
+        0,
+    )
     ref_ok = (n_r >= C.TRACK_REF_KF_MIN_MATCHES) & (inl_r >= 10)
 
     T1 = jnp.where(motion_ok, T_m, T_r)
@@ -497,7 +551,8 @@ def _track_core(
     best_local = kf_ids[0]
     ref_for_policy = jnp.where(best_local >= 0, best_local, ref_kf)
     min_obs = jnp.where(n_kfs <= 2, 2, 3)
-    obs_counts = ms.point_observation_counts(m)
+    if obs_counts is None:
+        obs_counts = ms.point_observation_counts(m)
     ref_obs = m.kf_obs[jnp.clip(ref_for_policy, 0, cfg.max_keyframes - 1)]
     ref_pid = jnp.clip(ref_obs, 0, cfg.max_points - 1)
     ref_ok_pts = (ref_obs >= 0) & m.pt_valid[ref_pid]
@@ -578,6 +633,9 @@ def _relative_to_kf(Tcw, kf_pose):
 # tracking thread (src/System.cc:84-103).
 # ---------------------------------------------------------------------------
 
+_obs_counts_jit = jax.jit(ms.point_observation_counts)
+
+
 class DeviceTrackState(NamedTuple):
     T_last: jax.Array            # [4,4] last tracked pose
     velocity: jax.Array          # [4,4] constant-velocity model
@@ -587,6 +645,8 @@ class DeviceTrackState(NamedTuple):
     n_kfs: jax.Array             # scalar int32
     n_pts: jax.Array             # scalar int32 point-slot cursor
     last_kf_frame_id: jax.Array  # scalar int32
+    obs_counts: jax.Array        # [Pmax] cached per-point observation counts
+                                 # (recomputed on KF create / map mutation)
 
 
 # packed per-frame output vector layout (appended after stats[N_STATS])
@@ -616,6 +676,7 @@ def _frame_step_core(m, ds: DeviceTrackState, feats, uright, depth, meta, cfg):
     m, Tcw, assoc, stats = _track_core(
         m, feats, uright, depth, T_pred, ds.T_last, ds.have_vel,
         ds.last_assoc, ds.ref_kf, frame_id, ds.last_kf_frame_id, ds.n_kfs, cfg,
+        obs_counts=ds.obs_counts,
     )
     tracked = stats[S_TRACKED] > 0
     # recently-relocalized frames require the stricter inlier floor
@@ -631,9 +692,24 @@ def _frame_step_core(m, ds: DeviceTrackState, feats, uright, depth, meta, cfg):
 
     need_kf = (stats[S_NEED_KF] > 0) & tracked
     slot = ds.n_kfs
-    m, n_created, kf_obs_row = _create_kf_core(
-        m, slot, ds.n_pts, frame_id, timestamp, Tcw, feats, uright, depth,
-        assoc, ref1, cfg, enabled=need_kf,
+
+    def _do_create(m_):
+        m2, n_created, row = _create_kf_core(
+            m_, slot, ds.n_pts, frame_id, timestamp, Tcw, feats, uright,
+            depth, assoc, ref1, cfg, enabled=jnp.asarray(True),
+        )
+        # the KF changed observations -> refresh the cached counts here,
+        # inside the rare branch
+        return m2, n_created.astype(jnp.int32), row, ms.point_observation_counts(m2)
+
+    def _skip_create(m_):
+        return m_, jnp.asarray(0, jnp.int32), assoc, ds.obs_counts
+
+    # real branch, not a mask: keyframes are rare (~1 in 10-30 frames) and
+    # the create kernel costs ~3ms, so the cond pays for itself every
+    # non-KF frame
+    m, n_created, kf_obs_row, obs_counts2 = jax.lax.cond(
+        need_kf, _do_create, _skip_create, m
     )
     assoc_after = jnp.where(need_kf, kf_obs_row, assoc)
     ref2 = jnp.where(need_kf, slot, ref1)
@@ -649,6 +725,7 @@ def _frame_step_core(m, ds: DeviceTrackState, feats, uright, depth, meta, cfg):
         n_kfs=ds.n_kfs + need_kf.astype(jnp.int32),
         n_pts=ds.n_pts + n_created.astype(jnp.int32),
         last_kf_frame_id=jnp.where(need_kf, frame_id, ds.last_kf_frame_id),
+        obs_counts=obs_counts2,
     )
     kmax = m.kf_pose.shape[0]
     Tcr = Tcw @ geo.inv_T(m.kf_pose[jnp.clip(ref2, 0, kmax - 1)])
@@ -672,8 +749,12 @@ def _frame_step_rgbd(m, ds, image, depth_map, meta, cfg: SlamConfig):
     from orb_slam2_comment_tpu.models.frame import undistort_points
     from orb_slam2_comment_tpu.ops import orb, stereo
 
+    # inputs arrive in native sensor dtypes (uint8 gray, uint16 depth):
+    # the host->device tunnel is bandwidth-bound (~60MB/s), so casting on
+    # device is 3-4x cheaper per frame than shipping float32
+    image = image.astype(jnp.float32)
     feats, _ = orb._extract_impl(image, cfg.orb, (cfg.height, cfg.width))
-    d = stereo.sample_depth_at(depth_map, feats.xy)
+    d = stereo.sample_depth_at(depth_map, feats.xy).astype(jnp.float32)
     if cfg.depth_map_factor != 1.0:
         d = d / cfg.depth_map_factor
     uright, depth = stereo.depth_to_uright(feats.xy, d, cfg.bf)
@@ -686,6 +767,8 @@ def _frame_step_stereo(m, ds, image_l, image_r, meta, cfg: SlamConfig):
     from orb_slam2_comment_tpu.models.frame import undistort_points
     from orb_slam2_comment_tpu.ops import orb, stereo
 
+    image_l = image_l.astype(jnp.float32)
+    image_r = image_r.astype(jnp.float32)
     feats_l, pyr_l = orb._extract_impl(image_l, cfg.orb, (cfg.height, cfg.width))
     feats_r, pyr_r = orb._extract_impl(image_r, cfg.orb, (cfg.height, cfg.width))
     uright, depth = stereo.stereo_match(
@@ -702,11 +785,41 @@ def _frame_step_mono(m, ds, image, meta, cfg: SlamConfig):
     from orb_slam2_comment_tpu.models.frame import undistort_points
     from orb_slam2_comment_tpu.ops import orb
 
+    image = image.astype(jnp.float32)
     feats, _ = orb._extract_impl(image, cfg.orb, (cfg.height, cfg.width))
     n = feats.xy.shape[0]
     feats = feats._replace(xy=undistort_points(feats.xy, cfg))
     uright = jnp.full((n,), -1.0)
     depth = jnp.full((n,), -1.0)
+    return _frame_step_core(m, ds, feats, uright, depth, meta, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _extract_stage(image, cfg: SlamConfig):
+    """Stage A of the split RGB-D pipeline: feature extraction only.
+
+    The host->device tunnel does not overlap transfers with compute, so
+    shipping the full depth map (600KB u16) costs ~9ms/frame. Instead the
+    host pulls the keypoint coordinates (8KB), samples the depth map
+    host-side, and pushes just the per-keypoint samples (4KB) to stage B."""
+    from orb_slam2_comment_tpu.ops import orb
+
+    image = image.astype(jnp.float32)
+    feats, _ = orb._extract_impl(image, cfg.orb, (cfg.height, cfg.width))
+    return feats
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0, 1))
+def _track_stage_rgbd(m, ds, feats, depth_samples, meta, cfg: SlamConfig):
+    """Stage B: depth association + tracking + keyframe policy/creation."""
+    from orb_slam2_comment_tpu.models.frame import undistort_points
+    from orb_slam2_comment_tpu.ops import stereo
+
+    d = depth_samples.astype(jnp.float32)
+    if cfg.depth_map_factor != 1.0:
+        d = d / cfg.depth_map_factor
+    uright, depth = stereo.depth_to_uright(feats.xy, d, cfg.bf)
+    feats = feats._replace(xy=undistort_points(feats.xy, cfg))
     return _frame_step_core(m, ds, feats, uright, depth, meta, cfg)
 
 
@@ -772,7 +885,11 @@ class LazyTrackOutput:
 class Tracker:
     """Host orchestrator owning the map and the tracking state machine."""
 
-    MAX_LAG = 3  # frames the host state machine may trail the device
+    # Frames the host state machine may trail the device. The tunnel's
+    # device->host round trip is ~25ms; at ~15ms/frame a lag of 8 gives
+    # results ~2 frames of slack past the RTT, so forced (blocking) syncs
+    # never fire in steady state.
+    MAX_LAG = 8
 
     def __init__(self, cfg: SlamConfig):
         self.cfg = cfg
@@ -796,24 +913,24 @@ class Tracker:
         self.kf_ts_host = np.zeros(cfg.max_keyframes, np.float64)
         # async fused-pipeline state
         self.ds: Optional[DeviceTrackState] = None
+        self._stageA = collections.deque()    # (frame_id, ts, feats, depth_map)
         self._pending = collections.deque()   # (frame_id, ts, out_array)
         self._resolved = {}                   # frame_id -> TrackOutput
         self._results = {}                    # frame_id -> np stats
-        self._pull_q = queue.Queue()
-        self._puller = threading.Thread(target=self._pull_worker, daemon=True)
-        self._puller.start()
+        # Pull POOL, not a single puller thread: each device->host read
+        # costs a full ~25ms tunnel round trip, but concurrent reads
+        # overlap almost perfectly (measured 8 concurrent pulls ~= 1 RTT),
+        # so a serial puller would cap the pipeline at ~40fps.
+        self._io_pool = concurrent.futures.ThreadPoolExecutor(max_workers=6)
 
     # -- async plumbing ------------------------------------------------------
-    def _pull_worker(self):
-        while True:
-            item = self._pull_q.get()
-            if item is None:
-                return
-            fid, arr = item
+    def _pull_async(self, fid, arr):
+        def run():
             try:
                 self._results[fid] = np.asarray(arr)
             except Exception as e:  # pragma: no cover - surfaced at flush
                 self._results[fid] = e
+        self._io_pool.submit(run)
 
     def _flush_ready(self, max_lag: Optional[int] = None):
         """Resolve pending frames whose stats have arrived; force-resolve
@@ -834,6 +951,8 @@ class Tracker:
             self._resolve_entry(fid, ts, res)
 
     def _flush_upto(self, fid: int):
+        while self._stageA and self._stageA[0][0] <= fid:
+            self._finish_stageA_front()
         while self._pending and self._pending[0][0] <= fid:
             f, ts, out = self._pending.popleft()
             res = self._results.pop(f, None)
@@ -872,11 +991,13 @@ class Tracker:
             for cb in self.new_kf_callbacks:
                 cb(kf_slot)
             if self.ds is not None:
-                # local mapping may have advanced the point cursor
+                # local mapping may have advanced the point cursor and
+                # changed observations -> refresh the cached obs counts
                 self.ds = self.ds._replace(
                     n_pts=jnp.asarray(self.n_pts_dev, jnp.int32)
                     if np.isscalar(self.n_pts_dev)
-                    else self.n_pts_dev
+                    else self.n_pts_dev,
+                    obs_counts=_obs_counts_jit(self.map),
                 )
         out = TrackOutput(
             state=self.state,
@@ -905,6 +1026,7 @@ class Tracker:
             n_pts=jnp.asarray(self.n_pts_dev, jnp.int32)
             if np.isscalar(self.n_pts_dev) else self.n_pts_dev.astype(jnp.int32),
             last_kf_frame_id=jnp.asarray(self.last_kf_frame_id, jnp.int32),
+            obs_counts=_obs_counts_jit(self.map),
         )
 
     # -- fused async entry points -------------------------------------------
@@ -924,17 +1046,43 @@ class Tracker:
         )
         self.n_pts_dev = self.ds.n_pts
         self._pending.append((frame_id, ts, out))
-        self._pull_q.put((frame_id, out))
+        self._pull_async(frame_id, out)
         return LazyTrackOutput(self, frame_id)
+
+    def _finish_stageA_front(self):
+        """Pull stage-A keypoints, sample the host depth map, dispatch
+        stage B. One frame of software pipelining hides the xy pull behind
+        the next frame's image upload."""
+        fid, ts, feats, depth_map, xy_fut = self._stageA.popleft()
+        xy = xy_fut.result()  # prefetched at dispatch; ready ~1 RTT later
+        h, w = depth_map.shape
+        x = np.clip(np.round(xy[:, 0]).astype(np.int32), 0, w - 1)
+        y = np.clip(np.round(xy[:, 1]).astype(np.int32), 0, h - 1)
+        samples = np.ascontiguousarray(depth_map[y, x])
+        meta = jnp.asarray(
+            np.asarray([fid, ts, fid - self.last_reloc_frame_id], np.float32)
+        )
+        self.map, self.ds, out = _track_stage_rgbd(
+            self.map, self.ds, feats, jnp.asarray(samples), meta, self.cfg
+        )
+        self.n_pts_dev = self.ds.n_pts
+        self._pending.append((fid, ts, out))
+        self._pull_async(fid, out)
 
     def track_rgbd_arrays(self, frame_id, ts, image, depth_map):
         self._flush_ready()
         if self._fused_ok():
-            return self._dispatch_fused(
-                _frame_step_rgbd, frame_id, ts,
-                jnp.asarray(image, jnp.float32),
-                jnp.asarray(depth_map, jnp.float32),
-            )
+            # two-frame software pipeline: frame i-2's keypoints are
+            # certainly materialized by now, so its xy pull returns
+            # immediately; dispatch its stage B before this frame's upload
+            # (the tunnel is FIFO — pulling after the upload would wait
+            # behind it)
+            while len(self._stageA) > 1:
+                self._finish_stageA_front()
+            feats = _extract_stage(jnp.asarray(image), self.cfg)
+            xy_fut = self._io_pool.submit(np.asarray, feats.xy)
+            self._stageA.append((frame_id, ts, feats, depth_map, xy_fut))
+            return LazyTrackOutput(self, frame_id)
         from orb_slam2_comment_tpu.models import frame as fr
 
         self._flush_all()
@@ -947,8 +1095,8 @@ class Tracker:
         if self._fused_ok():
             return self._dispatch_fused(
                 _frame_step_stereo, frame_id, ts,
-                jnp.asarray(image_l, jnp.float32),
-                jnp.asarray(image_r, jnp.float32),
+                jnp.asarray(image_l),
+                jnp.asarray(image_r),
             )
         from orb_slam2_comment_tpu.models import frame as fr
 
@@ -961,7 +1109,7 @@ class Tracker:
         self._flush_ready()
         if self._fused_ok():
             return self._dispatch_fused(
-                _frame_step_mono, frame_id, ts, jnp.asarray(image, jnp.float32)
+                _frame_step_mono, frame_id, ts, jnp.asarray(image)
             )
         from orb_slam2_comment_tpu.models import frame as fr
 

