@@ -46,17 +46,20 @@ def run(sensor, dataset, seq_dir, settings=None, vocabulary=None,
 
     system = System(cfg, vocabulary_path=vocabulary)
     times = []
-    for i, it in enumerate(items):
-        img = ds.load_image_gray(it.image)
+    # decode-ahead loader (native C++ thread pool when available); frames
+    # arrive in sensor-native dtypes (u8 gray, u16 raw depth — the device
+    # applies DepthMapFactor, mirroring Tracking.cc:222-231)
+    loader = ds.FramePrefetcher(items, lookahead=8, threads=4)
+    for i, f in enumerate(loader):
         t0 = time.perf_counter()
         if sensor == "rgbd":
-            depth = ds.load_depth(it.depth, cfg.depth_map_factor)
-            out = system.track_rgbd(img, depth, it.timestamp)
+            out = system.track_rgbd(f["image"], f["depth"], f["timestamp"])
         elif sensor == "stereo":
-            img_r = ds.load_image_gray(it.image_right)
-            out = system.track_stereo(img, img_r, it.timestamp)
+            out = system.track_stereo(
+                f["image"], f["image_right"], f["timestamp"]
+            )
         else:
-            out = system.track_monocular(img, it.timestamp)
+            out = system.track_monocular(f["image"], f["timestamp"])
         dt = time.perf_counter() - t0
         times.append(dt)
         if i % 20 == 0:

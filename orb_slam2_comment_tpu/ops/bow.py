@@ -262,10 +262,38 @@ def load_vocabulary(path: str) -> Vocabulary:
     )
 
 
-def load_orb_vocab(path: str, levels_up: int = 4) -> Vocabulary:
-    """Parse the upstream ORBvoc.txt format (TemplatedVocabulary::
-    loadFromTextFile, header:241): first line 'k L s1 s2', then one node
-    per line: 'parent is_leaf d0..d31 weight'."""
+def save_orb_vocab_text(path: str, voc: Vocabulary):
+    """Write the upstream ORBvoc.txt format so vocabularies trained here
+    are loadable by the reference implementation (and round-trip the
+    native parser). Node ids are emitted in BFS order with parent links,
+    matching TemplatedVocabulary::saveToTextFile."""
+    children = np.asarray(voc.children)
+    node_desc = (
+        np.ascontiguousarray(np.asarray(voc.node_desc))
+        .view(np.uint8).reshape(-1, 32)
+    )
+    node_word = np.asarray(voc.node_word)
+    weights = np.zeros(children.shape[0], np.float32)
+    ww = np.asarray(voc.word_weight)
+    weights[node_word >= 0] = ww[node_word[node_word >= 0]]
+    n = children.shape[0]
+    parent_of = np.zeros(n, np.int64)
+    rows = np.repeat(np.arange(n), children.shape[1])
+    flat = children.reshape(-1)
+    ok = flat > 0
+    parent_of[flat[ok]] = rows[ok]
+    with open(path, "w") as f:
+        f.write(f"{voc.k} {voc.depth} 0 0\n")  # k L TF_IDF L1_NORM
+        # node line i corresponds to id i+1; parent ids in the file are in
+        # the same numbering minus one (root = -1 + 1 = id 0)
+        for nid in range(1, n):
+            is_leaf = int(node_word[nid] >= 0)
+            d = " ".join(str(int(v)) for v in node_desc[nid])
+            f.write(f"{parent_of[nid] - 1} {is_leaf} {d} {weights[nid]:.6f}\n")
+
+
+def _parse_orb_vocab_py(path: str):
+    """Pure-Python fallback tokenizer for the ORBvoc.txt format."""
     with open(path) as f:
         header = f.readline().split()
         k, L = int(header[0]), int(header[1])
@@ -278,20 +306,44 @@ def load_orb_vocab(path: str, levels_up: int = 4) -> Vocabulary:
             leaf_flags.append(int(p[1]) != 0)
             descs.append([int(v) for v in p[2:34]])
             weights.append(float(p[34]))
+    return (
+        k, L,
+        np.asarray(parents, np.int32),
+        np.asarray(leaf_flags, np.uint8),
+        np.asarray(descs, np.uint8).reshape(-1, 32),
+        np.asarray(weights, np.float32),
+    )
+
+
+def load_orb_vocab(path: str, levels_up: int = 4) -> Vocabulary:
+    """Parse the upstream ORBvoc.txt format (TemplatedVocabulary::
+    loadFromTextFile, header:241): first line 'k L s1 s2', then one node
+    per line: 'parent is_leaf d0..d31 weight'. Uses the native C++
+    tokenizer (csrc/slamio.cc) when available — the upstream file is ~1M
+    lines and a Python split() loop takes minutes."""
+    from orb_slam2_comment_tpu._native import slamio
+
+    if slamio is not None:
+        k, L, parents, leaf_flags, descs, weights = slamio.parse_orb_vocab(path)
+    else:
+        k, L, parents, leaf_flags, descs, weights = _parse_orb_vocab_py(path)
+
     n = len(parents) + 1  # + root
+    # vectorized tree assembly: children of each parent in file order
+    par = np.where(parents >= 0, parents + 1, 0).astype(np.int64)
+    order = np.argsort(par, kind="stable")
+    sorted_par = par[order]
+    counts = np.bincount(sorted_par, minlength=n)
+    first = np.concatenate([[0], np.cumsum(counts)])[:-1]
+    slot_in_parent = np.arange(len(par)) - first[sorted_par]
     children = np.full((n, k), -1, np.int64)
-    slot = np.zeros(n, np.int64)
+    children[sorted_par, slot_in_parent % k] = order + 1
     node_desc = np.zeros((n, 32), np.uint8)
+    node_desc[1:] = descs
     is_leaf = np.zeros(n, bool)
+    is_leaf[1:] = leaf_flags.astype(bool)
     w = np.zeros(n, np.float32)
-    for i in range(len(parents)):
-        nid = i + 1
-        par = parents[i] + 1 if parents[i] >= 0 else 0
-        children[par, slot[par] % k] = nid
-        slot[par] += 1
-        node_desc[nid] = descs[i]
-        is_leaf[nid] = leaf_flags[i]
-        w[nid] = weights[i]
+    w[1:] = weights
     node_word = np.full(n, -1, np.int64)
     leaves = np.where(is_leaf)[0]
     node_word[leaves] = np.arange(len(leaves))

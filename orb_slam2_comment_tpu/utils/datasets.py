@@ -21,7 +21,18 @@ from typing import List, Optional
 import numpy as np
 
 
+def _slamio():
+    from orb_slam2_comment_tpu._native import slamio
+
+    return slamio
+
+
 def load_image_gray(path: str) -> np.ndarray:
+    """f32 grayscale in 0..255 — native libpng decode when available
+    (csrc/slamio.cc), PIL otherwise."""
+    s = _slamio()
+    if s is not None and path.lower().endswith(".png"):
+        return s.read_image(path, kind=0)
     from PIL import Image
 
     img = Image.open(path)
@@ -31,11 +42,81 @@ def load_image_gray(path: str) -> np.ndarray:
     return arr
 
 
-def load_depth(path: str, factor: float) -> np.ndarray:
+def load_image_gray_u8(path: str) -> np.ndarray:
+    """u8 grayscale — the sensor-native dtype the tracker ships to the
+    device (3-4x cheaper host->device than f32)."""
+    s = _slamio()
+    if s is not None and path.lower().endswith(".png"):
+        return s.read_image(path, kind=2)
+    return np.clip(load_image_gray(path), 0, 255).astype(np.uint8)
+
+
+def load_depth_raw(path: str) -> np.ndarray:
+    """u16 raw depth samples (TUM PNGs); DepthMapFactor scaling happens
+    on device (Tracking.cc:222-231 equivalent)."""
+    s = _slamio()
+    if s is not None and path.lower().endswith(".png"):
+        return s.read_image(path, kind=1)
     from PIL import Image
 
-    arr = np.asarray(Image.open(path)).astype(np.float32)
+    return np.asarray(Image.open(path)).astype(np.uint16)
+
+
+def load_depth(path: str, factor: float) -> np.ndarray:
+    arr = load_depth_raw(path).astype(np.float32)
     return arr / factor if factor not in (0.0, 1.0) else arr
+
+
+class FramePrefetcher:
+    """Decode-ahead loader over a SequenceItem list, backed by the C++
+    thread pool when available (slamio.Prefetcher); synchronous fallback
+    otherwise. Yields dicts with native-dtype arrays."""
+
+    def __init__(self, items: "List[SequenceItem]", lookahead: int = 8,
+                 threads: int = 4):
+        self.items = items
+        self._pf = None
+        s = _slamio()
+        if s is not None and all(
+            it.image.lower().endswith(".png") for it in items
+        ):
+            specs = []
+            for it in items:
+                planes = [(it.image, 2)]
+                if it.image_right is not None:
+                    planes.append((it.image_right, 2))
+                if it.depth is not None:
+                    planes.append((it.depth, 1))
+                specs.append(planes)
+            self._pf = s.Prefetcher(specs, lookahead=lookahead,
+                                    threads=threads)
+
+    def __len__(self):
+        return len(self.items)
+
+    def __getitem__(self, i: int):
+        it = self.items[i]
+        out = {"timestamp": it.timestamp}
+        if self._pf is not None:
+            planes = self._pf.get(i)
+            out["image"] = planes[0]
+            j = 1
+            if it.image_right is not None:
+                out["image_right"] = planes[j]
+                j += 1
+            if it.depth is not None:
+                out["depth"] = planes[j]
+        else:
+            out["image"] = load_image_gray_u8(it.image)
+            if it.image_right is not None:
+                out["image_right"] = load_image_gray_u8(it.image_right)
+            if it.depth is not None:
+                out["depth"] = load_depth_raw(it.depth)
+        return out
+
+    def __iter__(self):
+        for i in range(len(self.items)):
+            yield self[i]
 
 
 @dataclass
