@@ -348,6 +348,95 @@ def _rotated_test_indices(xy, angle, wl, hl, base):
     return base[:, None] + gy * wl[:, None] + gx
 
 
+# ---------------------------------------------------------------------------
+# MXU descriptor path
+#
+# TPU element gathers run at ~200M elem/s, so sampling 512 rotated BRIEF
+# points per keypoint (the reference's computeOrbDescriptor,
+# src/ORBextractor.cc:108-148) costs ~4ms/frame as a gather. Instead:
+#   1. extract one 37x37 RAW patch per keypoint (vmapped dynamic_slice —
+#      a block transfer, ~2.5x faster than element gathers), and
+#   2. multiply by a static matrix S [1369, Q*256+2] whose columns hold
+#      +/- 7x7 Gaussian stamps at the rotated test offsets — one bf16
+#      matmul on the MXU computes blur + sampling + comparison input for
+#      ALL Q rotation buckets at once, plus the IC_Angle disk moments
+#      (m10, m01) in the last two columns.
+# The per-keypoint bucket (from the exact moment-based angle) then selects
+# its 256 bits. Rotation is quantized to Q=64 buckets (5.6 deg); the
+# reference itself rounds rotated offsets to the pixel grid (~0.5px), so
+# at radius <=13px the added error (<=0.64px) is at the same scale.
+# ---------------------------------------------------------------------------
+
+_PATCH_R = 21          # pattern radius <=17.7 rotated -> +/-18, +3 blur taps
+_PATCH_W = 2 * _PATCH_R + 1
+# keypoints keep EDGE_THRESHOLD=19 from level borders; the patch reaches
+# 21px, so the padded level stack carries this much extra zero margin
+_PATCH_PAD = _PATCH_R - C.EDGE_THRESHOLD + 1  # = 3 (1 slack for rounding)
+_BRIEF_Q = 64
+
+
+@functools.lru_cache(maxsize=None)
+def _brief_matrix_np(qb: int = _BRIEF_Q) -> np.ndarray:
+    P, W = _PATCH_R, _PATCH_W
+    g = _GAUSS7.astype(np.float64)
+    pat = _PATTERN.astype(np.float64)  # [256, 4] = (x1, y1, x2, y2)
+    S = np.zeros((W * W, qb * 256 + 2), np.float64)
+
+    th = 2.0 * np.pi * np.arange(qb) / qb
+    ca, sa = np.cos(th)[:, None], np.sin(th)[:, None]  # [Q,1]
+    # reference rounding of rotated offsets (cvRound)
+    rx = np.rint(np.stack([ca * pat[:, 0] - sa * pat[:, 1],
+                           ca * pat[:, 2] - sa * pat[:, 3]], axis=-1)).astype(int)
+    ry = np.rint(np.stack([sa * pat[:, 0] + ca * pat[:, 1],
+                           sa * pat[:, 2] + ca * pat[:, 3]], axis=-1)).astype(int)
+    # rx/ry: [Q, 256, 2] (endpoint 0 = first test point, subtracted)
+    dyx = np.arange(-3, 4)
+    gw = np.outer(g, g)  # [7,7]
+    yy = (P + ry[..., None, None] + dyx[None, None, None, :, None])  # [Q,256,2,7,1]
+    xx = (P + rx[..., None, None] + dyx[None, None, None, None, :])  # [Q,256,2,1,7]
+    full = (qb, 256, 2, 7, 7)
+    rows = np.broadcast_to(yy * W + xx, full).ravel()
+    cols = np.broadcast_to(
+        (np.arange(qb)[:, None] * 256 + np.arange(256)[None, :])[..., None, None, None],
+        full,
+    ).ravel()
+    sign = np.broadcast_to(
+        np.asarray([-1.0, 1.0])[None, None, :, None, None], full
+    ).ravel()
+    wts = np.broadcast_to(gw[None, None, None], full).ravel() * sign
+    np.add.at(S, (rows, cols), wts)
+
+    # IC_Angle disk moments on the 31x31 subgrid (src/ORBextractor.cc:77-106)
+    dy, dx = np.mgrid[-_R:_R + 1, -_R:_R + 1]
+    disk = (dx * dx + dy * dy) <= _R * _R
+    ys, xs = np.nonzero(disk)
+    rr = (ys - _R + P) * W + (xs - _R + P)
+    S[rr, -2] = dx[disk]
+    S[rr, -1] = dy[disk]
+    return S.astype(np.float32)
+
+
+_BRIEF_S_DEV: dict = {}
+
+
+def _brief_matrix(qb: int = _BRIEF_Q) -> jax.Array:
+    """S as a committed device array. The bf16 cast happens in numpy
+    (ml_dtypes) and device_put takes the numpy buffer, so this stays
+    concrete even when first reached inside a jit trace (a traced astype
+    here would leak a tracer into the cache) and the ~60MB matrix is
+    hoisted as a buffer instead of inlined into every HLO."""
+    if qb not in _BRIEF_S_DEV:
+        import ml_dtypes
+
+        # escape any enclosing trace: the cache must hold a CONCRETE array
+        # (a cached tracer poisons every later trace)
+        with jax.ensure_compile_time_eval():
+            _BRIEF_S_DEV[qb] = jnp.asarray(
+                _brief_matrix_np(qb).astype(ml_dtypes.bfloat16)
+            )
+    return _BRIEF_S_DEV[qb]
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "shape"))
 def _extract_impl(image: jax.Array, cfg: ORBConfig, shape):
     h, w = shape
@@ -355,13 +444,11 @@ def _extract_impl(image: jax.Array, cfg: ORBConfig, shape):
     budgets = cfg.level_budgets()
     margin = C.EDGE_THRESHOLD
 
-    # Per-level dense stages (score/NMS/select, blur, moment maps) are all
-    # vector work; the two gather stages (orientation lookup, descriptor
-    # sampling) are fused ACROSS levels into single gathers over the
-    # flattened concatenated pyramid — TPU gathers have a large fixed cost,
-    # so 2 big gathers beat 16 per-level ones by ~an order of magnitude.
+    # Per-level dense stages (score/NMS/select) are plain vector work; the
+    # orientation + descriptor stage runs once across all levels on the
+    # MXU (see _brief_matrix above).
     xy_lvl, resp_all, valid_all = [], [], []
-    pyramid, blur_flat, mom_flat = [], [], []
+    pyramid = []
     level_img = image
     for lvl in range(cfg.n_levels):
         if lvl > 0:
@@ -379,16 +466,7 @@ def _extract_impl(image: jax.Array, cfg: ORBConfig, shape):
         xy_lvl.append(xy_l)
         resp_all.append(resp)
         valid_all.append(valid)
-        m10, m01 = _moment_maps(level_img)
-        mom_flat.append(jnp.stack([m10, m01], axis=-1).reshape(-1, 2))
-        # u8 blurred pyramid: the descriptor gather is byte-bound, and the
-        # reference's cv::GaussianBlur writes u8 anyway (ORBextractor.cc:1086)
-        blur_flat.append(
-            jnp.clip(jnp.round(_blur7(level_img)), 0, 255)
-            .astype(jnp.uint8).reshape(-1)
-        )
 
-    # static per-slot level geometry (slots are laid out level-major)
     n_lvls = cfg.n_levels
     wl_np = np.concatenate(
         [np.full(budgets[l], sizes[l][1], np.int32) for l in range(n_lvls)]
@@ -396,47 +474,61 @@ def _extract_impl(image: jax.Array, cfg: ORBConfig, shape):
     hl_np = np.concatenate(
         [np.full(budgets[l], sizes[l][0], np.int32) for l in range(n_lvls)]
     )
-    base_np = np.concatenate(
-        [
-            np.full(budgets[l], off, np.int32)
-            for l, off in zip(
-                range(n_lvls),
-                np.concatenate(
-                    [[0], np.cumsum([sizes[l][0] * sizes[l][1] for l in range(n_lvls)])]
-                )[:-1],
-            )
-        ]
+    oct_np = np.concatenate(
+        [np.full(budgets[l], l, np.int32) for l in range(n_lvls)]
     )
-    wl, hl, base = jnp.asarray(wl_np), jnp.asarray(hl_np), jnp.asarray(base_np)
+    wl, hl = jnp.asarray(wl_np), jnp.asarray(hl_np)
+    oct_dev = jnp.asarray(oct_np)
     xy_all = jnp.concatenate(xy_lvl)                       # [N, 2] level coords
+    n_slots = xy_all.shape[0]
 
-    # orientation: one [N,2] gather from the concatenated moment maps
-    mom_cat = jnp.concatenate(mom_flat)                    # [sum hw, 2]
-    x_c = jnp.clip(xy_all[:, 0], _R, wl - 1 - _R)
-    y_c = jnp.clip(xy_all[:, 1], _R, hl - 1 - _R)
-    mm = mom_cat[base + y_c * wl + x_c]
-    ang_all = jnp.arctan2(mm[:, 1], mm[:, 0])
+    # one 37x37 raw patch per keypoint from the zero-padded level stack
+    # (selection enforces EDGE_THRESHOLD=19 > 18, so patches never cross a
+    # level boundary into the padding)
+    pd = _PATCH_PAD
+    padded = jnp.zeros((n_lvls, h + 2 * pd, w + 2 * pd), jnp.float32)
+    for l in range(n_lvls):
+        padded = padded.at[
+            l, pd : pd + sizes[l][0], pd : pd + sizes[l][1]
+        ].set(pyramid[l])
+    ys0 = jnp.clip(xy_all[:, 1] - _PATCH_R + pd, 0, h + 2 * pd - _PATCH_W)
+    xs0 = jnp.clip(xy_all[:, 0] - _PATCH_R + pd, 0, w + 2 * pd - _PATCH_W)
 
-    # descriptors: one [N,512] gather from the concatenated blurred pyramid
-    blur_cat = jnp.concatenate(blur_flat)                  # [sum hw]
-    test_idx = _rotated_test_indices(xy_all, ang_all, wl, hl, base)
-    vals = blur_cat[test_idx]                              # [N, 512]
-    i1, i2 = vals[:, :256], vals[:, 256:]
-    desc_all = pack_bits(i1 < i2)
+    def _one_patch(l, y, x):
+        return jax.lax.dynamic_slice(padded, (l, y, x), (1, _PATCH_W, _PATCH_W))[0]
+
+    patches = jax.vmap(_one_patch)(oct_dev, ys0, xs0)      # [N, 37, 37]
+    S = _brief_matrix()
+    out = jnp.dot(
+        patches.reshape(n_slots, _PATCH_W * _PATCH_W).astype(jnp.bfloat16),
+        S,
+        preferred_element_type=jnp.float32,
+    )                                                      # [N, Q*256 + 2]
+    # exact IC_Angle moments (u8 pixels and +/-15 coords are bf16-exact,
+    # f32 accumulation)
+    ang_all = jnp.arctan2(out[:, -1], out[:, -2])
+    qb = _BRIEF_Q
+    bucket = jnp.mod(
+        jnp.round(ang_all / (2.0 * jnp.pi / qb)).astype(jnp.int32), qb
+    )
+    onehot = (
+        jax.lax.broadcasted_iota(jnp.int32, (n_slots, qb), 1) == bucket[:, None]
+    ).astype(jnp.float32)
+    sel = jnp.einsum(
+        "nqb,nq->nb", out[:, : qb * 256].reshape(n_slots, qb, 256), onehot
+    )
+    desc_all = pack_bits(sel > 0)
 
     scale_per_slot = jnp.asarray(
         np.concatenate(
             [np.full(budgets[l], cfg.scales[l], np.float32) for l in range(n_lvls)]
         )
     )
-    oct_all = jnp.asarray(
-        np.concatenate([np.full(budgets[l], l, np.int32) for l in range(n_lvls)])
-    )
     feats = FrameFeatures(
         xy=xy_all.astype(jnp.float32) * scale_per_slot[:, None],
         response=jnp.concatenate(resp_all),
         angle=ang_all,
-        octave=oct_all,
+        octave=oct_dev,
         desc=desc_all,
         valid=jnp.concatenate(valid_all),
     )
