@@ -65,6 +65,12 @@ def main():
             f"kf={out.created_kf}",
             file=sys.stderr,
         )
+    # silent warm frames: reading out.state above forces a flush each
+    # frame, which keeps the steady-state fused program (track+extract in
+    # one dispatch) from ever running; these frames compile it
+    for f in frames[n_warm:n_warm + 6]:
+        system.track_rgbd(f["image"], f["depth"], f["timestamp"])
+    n_warm += 6
     system.tracker._flush_all()
 
     # steady-state throughput: the async pipeline is drained at the end,

@@ -809,8 +809,7 @@ def _extract_stage(image, cfg: SlamConfig):
     return feats
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0, 1))
-def _track_stage_rgbd(m, ds, feats, depth_samples, meta, cfg: SlamConfig):
+def _track_stage_rgbd_core(m, ds, feats, depth_samples, meta, cfg: SlamConfig):
     """Stage B: depth association + tracking + keyframe policy/creation."""
     from orb_slam2_comment_tpu.models.frame import undistort_points
     from orb_slam2_comment_tpu.ops import stereo
@@ -821,6 +820,29 @@ def _track_stage_rgbd(m, ds, feats, depth_samples, meta, cfg: SlamConfig):
     uright, depth = stereo.depth_to_uright(feats.xy, d, cfg.bf)
     feats = feats._replace(xy=undistort_points(feats.xy, cfg))
     return _frame_step_core(m, ds, feats, uright, depth, meta, cfg)
+
+
+_track_stage_rgbd = functools.partial(
+    jax.jit, static_argnames=("cfg",), donate_argnums=(0, 1)
+)(_track_stage_rgbd_core)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0, 1))
+def _step_and_extract_rgbd(
+    m, ds, feats_prev, depth_samples_prev, meta_prev, image_cur,
+    cfg: SlamConfig,
+):
+    """Steady-state fused program: the PREVIOUS frame's stage B and the
+    CURRENT frame's extraction in one dispatch — each device program costs
+    ~1ms of tunnel dispatch, so one program per frame instead of two."""
+    from orb_slam2_comment_tpu.ops import orb
+
+    m, ds, out_prev = _track_stage_rgbd_core(
+        m, ds, feats_prev, depth_samples_prev, meta_prev, cfg
+    )
+    image = image_cur.astype(jnp.float32)
+    feats_cur, _ = orb._extract_impl(image, cfg.orb, (cfg.height, cfg.width))
+    return m, ds, out_prev, feats_cur
 
 
 # ---------------------------------------------------------------------------
@@ -1049,16 +1071,19 @@ class Tracker:
         self._pull_async(frame_id, out)
         return LazyTrackOutput(self, frame_id)
 
-    def _finish_stageA_front(self):
-        """Pull stage-A keypoints, sample the host depth map, dispatch
-        stage B. One frame of software pipelining hides the xy pull behind
-        the next frame's image upload."""
-        fid, ts, feats, depth_map, xy_fut = self._stageA.popleft()
-        xy = xy_fut.result()  # prefetched at dispatch; ready ~1 RTT later
+    @staticmethod
+    def _sample_depth_host(depth_map, xy):
         h, w = depth_map.shape
         x = np.clip(np.round(xy[:, 0]).astype(np.int32), 0, w - 1)
         y = np.clip(np.round(xy[:, 1]).astype(np.int32), 0, h - 1)
-        samples = np.ascontiguousarray(depth_map[y, x])
+        return np.ascontiguousarray(depth_map[y, x])
+
+    def _finish_stageA_front(self):
+        """Flush path: pull stage-A keypoints, sample the host depth map,
+        dispatch a standalone stage B."""
+        fid, ts, feats, depth_map, xy_fut = self._stageA.popleft()
+        xy = xy_fut.result()  # prefetched at dispatch; ready ~1 RTT later
+        samples = self._sample_depth_host(depth_map, xy)
         meta = jnp.asarray(
             np.asarray([fid, ts, fid - self.last_reloc_frame_id], np.float32)
         )
@@ -1072,14 +1097,32 @@ class Tracker:
     def track_rgbd_arrays(self, frame_id, ts, image, depth_map):
         self._flush_ready()
         if self._fused_ok():
-            # two-frame software pipeline: frame i-2's keypoints are
-            # certainly materialized by now, so its xy pull returns
-            # immediately; dispatch its stage B before this frame's upload
-            # (the tunnel is FIFO — pulling after the upload would wait
-            # behind it)
-            while len(self._stageA) > 1:
-                self._finish_stageA_front()
-            feats = _extract_stage(jnp.asarray(image), self.cfg)
+            # steady state: ONE device program per frame — frame i-3's
+            # tracking stage fused with frame i's extraction. Three frames
+            # of lag cover device queue time + the ~25ms tunnel RTT of the
+            # keypoint pull (issued at its dispatch), so the host never
+            # blocks; B stages still run strictly in frame order, so
+            # tracking semantics are identical to the reference's
+            # one-frame chain.
+            img = jnp.asarray(image)
+            if len(self._stageA) >= 3:
+                fid0, ts0, feats0, dm0, fut0 = self._stageA.popleft()
+                samples = self._sample_depth_host(dm0, fut0.result())
+                meta0 = jnp.asarray(
+                    np.asarray(
+                        [fid0, ts0, fid0 - self.last_reloc_frame_id],
+                        np.float32,
+                    )
+                )
+                self.map, self.ds, out0, feats = _step_and_extract_rgbd(
+                    self.map, self.ds, feats0, jnp.asarray(samples), meta0,
+                    img, self.cfg,
+                )
+                self.n_pts_dev = self.ds.n_pts
+                self._pending.append((fid0, ts0, out0))
+                self._pull_async(fid0, out0)
+            else:
+                feats = _extract_stage(img, self.cfg)
             xy_fut = self._io_pool.submit(np.asarray, feats.xy)
             self._stageA.append((frame_id, ts, feats, depth_map, xy_fut))
             return LazyTrackOutput(self, frame_id)
