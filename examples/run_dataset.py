@@ -44,6 +44,17 @@ def run(sensor, dataset, seq_dir, settings=None, vocabulary=None,
     if max_frames:
         items = items[:max_frames]
 
+    # EuRoC-style online rectification (stereo_euroc.cc:63-98): applied
+    # when the settings YAML carries LEFT./RIGHT. calibration blocks
+    rect_maps = None
+    if sensor == "stereo" and settings:
+        from orb_slam2_comment_tpu.utils.config import load_rectification
+
+        rect = load_rectification(settings)
+        if rect is not None:
+            (ml, mr) = ds.stereo_rectify_maps(*rect[:8], rect[8])
+            rect_maps = (ml, mr)
+
     system = System(cfg, vocabulary_path=vocabulary)
     times = []
     # decode-ahead loader (native C++ thread pool when available); frames
@@ -55,6 +66,9 @@ def run(sensor, dataset, seq_dir, settings=None, vocabulary=None,
         if sensor == "rgbd":
             out = system.track_rgbd(f["image"], f["depth"], f["timestamp"])
         elif sensor == "stereo":
+            if rect_maps is not None:
+                f["image"] = ds.remap(f["image"], *rect_maps[0])
+                f["image_right"] = ds.remap(f["image_right"], *rect_maps[1])
             out = system.track_stereo(
                 f["image"], f["image_right"], f["timestamp"]
             )

@@ -158,3 +158,41 @@ def load_yaml_settings(path: str, sensor: str) -> SlamConfig:
         ini_th_fast=g("ORBextractor.iniThFAST", 20.0),
         min_th_fast=g("ORBextractor.minThFAST", 7.0),
     )
+
+
+def load_rectification(path: str):
+    """Parse the LEFT./RIGHT. {K,D,R,P,height,width} stereo-rectification
+    blocks from an EuRoC-style settings YAML (Examples/Stereo/EuRoC.yaml:
+    34-76, consumed by stereo_euroc.cc:63-98 and ros_stereo.cc:71-108).
+
+    Returns (K1, D1, R1, P1, K2, D2, R2, P2, (h, w)) as numpy arrays, or
+    None when the file carries no rectification blocks. Handles the
+    OpenCV '!!opencv-matrix' node format without a yaml library.
+    """
+    import re
+
+    import numpy as np
+
+    text = open(path).read()
+    mats = {}
+    for m in re.finditer(
+        r"(LEFT|RIGHT)\.(K|D|R|P)\s*:\s*!!opencv-matrix"
+        r".*?data\s*:\s*\[(.*?)\]",
+        text,
+        re.DOTALL,
+    ):
+        side, name, data = m.group(1), m.group(2), m.group(3)
+        vals = [float(v) for v in re.split(r"[,\s]+", data.strip()) if v]
+        mats[f"{side}.{name}"] = np.asarray(vals, np.float64)
+    needed = [f"{s}.{n}" for s in ("LEFT", "RIGHT") for n in "KDRP"]
+    if not all(k in mats for k in needed):
+        return None
+    hm = re.search(r"LEFT\.height\s*:\s*(\d+)", text)
+    wm = re.search(r"LEFT\.width\s*:\s*(\d+)", text)
+    h = int(hm.group(1)) if hm else 480
+    w = int(wm.group(1)) if wm else 752
+    return (
+        mats["LEFT.K"], mats["LEFT.D"], mats["LEFT.R"], mats["LEFT.P"],
+        mats["RIGHT.K"], mats["RIGHT.D"], mats["RIGHT.R"], mats["RIGHT.P"],
+        (h, w),
+    )

@@ -48,6 +48,7 @@ def make_scene(
     extent=(12.0, 8.0, 18.0),
     z_near: float = 2.0,
     seed: int = 0,
+    planar_frac: float = 0.0,
 ) -> SyntheticScene:
     r = np.random.default_rng(seed)
     pts = np.stack(
@@ -58,6 +59,11 @@ def make_scene(
         ],
         axis=1,
     ).astype(np.float32)
+    if planar_frac > 0.0:
+        # a dominant ground plane (y = +extent/2, camera looks +z with +y
+        # down) for the AR demo's plane detection
+        k = int(n_points * planar_frac)
+        pts[:k, 1] = extent[1] * 0.5 + r.normal(0, 0.01, k).astype(np.float32)
     side = 2 * _MAX_HALF + 1
     # unique binary block textures: 5x5 random dark/light control grids
     # bilinearly upsampled. High contrast matters twice over — FAST corner
