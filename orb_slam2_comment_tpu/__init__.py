@@ -30,6 +30,22 @@ import jax as _jax
 # by casting their inputs, so MXU throughput is unaffected where it matters.
 _jax.config.update("jax_default_matmul_precision", "highest")
 
+# Persistent compilation cache: the per-frame fused programs take 30-150s
+# to compile per (sensor, resolution, budget) config; caching makes every
+# process after the first start in seconds.
+import os as _os  # noqa: E402
+
+_cache_dir = _os.environ.get(
+    "ORB_SLAM2_TPU_JIT_CACHE",
+    _os.path.join(_os.path.expanduser("~"), ".cache", "orb_slam2_tpu_jit"),
+)
+try:  # pragma: no cover - best effort
+    _os.makedirs(_cache_dir, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+except Exception:
+    pass
+
 from orb_slam2_comment_tpu import constants  # noqa: F401,E402
 
 __version__ = "0.1.0"
