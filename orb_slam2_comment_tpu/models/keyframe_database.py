@@ -77,6 +77,8 @@ class KeyFrameDatabase:
         w = np.asarray(ms.covisibility_weights(m, jnp.asarray(kf_id)))
         exclude = w >= C.COVIS_MIN_WEIGHT
         exclude[kf_id] = True
+        # culled keyframes (KeyFrame::SetBadFlag -> mpKeyFrameDB->erase)
+        exclude |= ~np.asarray(m.kf_valid)
         cand, scores = self._candidates(query, exclude, min_score)
         if len(cand) == 0:
             return []
@@ -98,14 +100,16 @@ class KeyFrameDatabase:
         )
         return keep[:max_out]
 
-    def detect_reloc_candidates(self, query_vec, max_out: int = 5):
+    def detect_reloc_candidates(self, query_vec, max_out: int = 5,
+                                valid_mask=None):
         """DetectRelocalizationCandidates (src/KeyFrameDatabase.cc:199-311):
         same gating without the minScore floor or covisibility exclusion.
         The covisibility-group accumulation is skipped (scores already rank
         well at our map sizes); top candidates are returned directly."""
-        cand, scores = self._candidates(
-            query_vec, np.zeros(self.bow.shape[0], bool), min_score=-1.0
-        )
+        exclude = np.zeros(self.bow.shape[0], bool)
+        if valid_mask is not None:
+            exclude |= ~np.asarray(valid_mask)
+        cand, scores = self._candidates(query_vec, exclude, min_score=-1.0)
         if len(cand) == 0:
             return []
         order = cand[np.argsort(-scores[cand])]

@@ -162,6 +162,94 @@ def cull_orphans(m: ms.MapState) -> ms.MapState:
 
 
 # ---------------------------------------------------------------------------
+# 2b. keyframe culling
+# ---------------------------------------------------------------------------
+
+N_CULL_CANDIDATES = 6
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def cull_keyframes(m: ms.MapState, kf_id: jax.Array, cfg: SlamConfig) -> ms.MapState:
+    """KeyFrameCulling (src/LocalMapping.cc:632-758): a covisible neighbor
+    of the current KF is redundant — and is retired — if >=90% of the
+    MapPoints it sees (those with >3 total observations; for stereo/RGB-D
+    only close points, depth in (0, thDepth)) are observed by at least 3
+    other keyframes at the same or finer pyramid level.
+
+    Retirement mirrors KeyFrame::SetBadFlag (src/KeyFrame.cc:453-540):
+    validity bit cleared, children re-parented, and the pose relative to
+    the parent frozen in kf_Tcp so trajectory recovery can walk the
+    spanning tree through dead keyframes (System::SaveTrajectoryTUM,
+    src/System.cc:342-377).
+    """
+    kmax, N = m.kf_obs.shape
+    pmax = m.pt_pos.shape[0]
+    w = ms.covisibility_weights(m, kf_id)
+    _, cand = jax.lax.top_k(w, N_CULL_CANDIDATES)
+    mono = cfg.sensor == MONOCULAR
+
+    def cull_one(m, k):
+        obs_k = m.kf_obs[k]                              # [N]
+        pid = jnp.clip(obs_k, 0, pmax - 1)
+        seen = (obs_k >= 0) & m.pt_valid[pid] & m.kf_feat_valid[k]
+        if not mono:
+            d = m.kf_depth[k]
+            seen = seen & (d > 0) & (d < cfg.depth_threshold)
+
+        # octave at which k observes each point (127 = not observed by k)
+        oct_in_k = jnp.full(pmax, 127, jnp.int32).at[pid].min(
+            jnp.where(seen, m.kf_octave[k], 127)
+        )
+
+        # observations by OTHER keyframes at scale <= oct_in_k + 1
+        flat_pt = m.kf_obs.reshape(-1)
+        fp = jnp.clip(flat_pt, 0, pmax - 1)
+        kf_of = jnp.repeat(jnp.arange(kmax, dtype=jnp.int32), N)
+        other = (
+            (flat_pt >= 0)
+            & m.kf_valid.repeat(N)
+            & m.kf_feat_valid.reshape(-1)
+            & (kf_of != k)
+            & (m.kf_octave.reshape(-1) <= oct_in_k[fp] + 1)
+        )
+        n_scale_obs = jnp.zeros(pmax, jnp.int32).at[fp].add(other.astype(jnp.int32))
+
+        total_obs = ms.point_observation_counts(m)
+        considered = seen & (total_obs[pid] > C.KF_REDUNDANT_OBS)
+        redundant = considered & (n_scale_obs[pid] >= C.KF_REDUNDANT_OBS)
+        n_mp = jnp.sum(seen)
+        n_red = jnp.sum(redundant)
+
+        cull = (
+            (k > 0)                        # the origin KF is immortal
+            & (k != kf_id)
+            & m.kf_valid[k]
+            & (n_mp > 0)
+            & (n_red > C.KF_REDUNDANT_RATIO * n_mp)
+        )
+
+        parent = m.kf_parent[k]
+        pk = jnp.clip(parent, 0, kmax - 1)
+        Tcp = m.kf_pose[k] @ geo.inv_T(m.kf_pose[pk])
+        new_valid = m.kf_valid.at[k].set(m.kf_valid[k] & ~cull)
+        # re-parent children of k to k's parent (the reference picks the
+        # best-covisible candidate parent, src/KeyFrame.cc:480-540; the
+        # grandparent is the spanning-tree-preserving simplification)
+        reparent = cull & (m.kf_parent == k)
+        new_parent = jnp.where(reparent, parent, m.kf_parent)
+        return m._replace(
+            kf_valid=new_valid,
+            kf_parent=new_parent,
+            kf_Tcp=m.kf_Tcp.at[k].set(
+                jnp.where(cull, Tcp, m.kf_Tcp[k])
+            ),
+        ), None
+
+    m, _ = jax.lax.scan(cull_one, m, cand)
+    return m
+
+
+# ---------------------------------------------------------------------------
 # 3. triangulation of new points
 # ---------------------------------------------------------------------------
 
@@ -528,6 +616,8 @@ def _mapper_kernel(m: ms.MapState, kf_id: jax.Array, pt_base: jax.Array,
         res = optim.local_bundle_adjustment(prob, _inv_sigma2(cfg), cfg.K, cfg.bf)
         m = scatter_ba_result(m, res, prob, cam_ids, pt_ids)
         m = cull_orphans(m)
+    if cfg.enable_kf_culling:
+        m = cull_keyframes(m, kf_id, cfg)
     return m, new_base
 
 

@@ -38,6 +38,9 @@ class MapState(NamedTuple):
     kf_feat_valid: jax.Array  # [Kmax, N] bool
     kf_obs: jax.Array        # [Kmax, N] int32 point id or -1
     kf_parent: jax.Array     # [Kmax] int32 spanning-tree parent (-1 = root)
+    kf_Tcp: jax.Array        # [Kmax, 4, 4] pose relative to parent, frozen at
+                             # cull time (KeyFrame::mTcp, src/KeyFrame.cc:540;
+                             # identity while the KF is alive)
     # --- map points (capacity Pmax) ---------------------------------------
     pt_pos: jax.Array        # [Pmax, 3]
     pt_valid: jax.Array      # [Pmax] bool
@@ -66,6 +69,7 @@ def empty_map(max_kfs: int, max_pts: int, n_feat: int) -> MapState:
         kf_feat_valid=jnp.zeros((max_kfs, n_feat), bool),
         kf_obs=jnp.full((max_kfs, n_feat), -1, jnp.int32),
         kf_parent=jnp.full(max_kfs, -1, jnp.int32),
+        kf_Tcp=jnp.tile(jnp.eye(4), (max_kfs, 1, 1)),
         pt_pos=jnp.zeros((max_pts, 3), jnp.float32),
         pt_valid=jnp.zeros(max_pts, bool),
         pt_desc=jnp.zeros((max_pts, 8), jnp.uint32),

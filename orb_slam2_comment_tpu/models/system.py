@@ -186,11 +186,22 @@ class System:
         self.tracker._flush_all()
         m = self.tracker.map
         kf_pose = np.asarray(m.kf_pose)
+        kf_valid = np.asarray(m.kf_valid)
+        kf_parent = np.asarray(m.kf_parent)
+        kf_Tcp = np.asarray(m.kf_Tcp)
         out = []
         for ts, Tcr, ref, state in self.trajectory:
             if state != OK or ref < 0:
                 continue
-            out.append((ts, Tcr @ kf_pose[ref]))
+            # walk the spanning tree through culled reference keyframes
+            # (System::SaveTrajectoryTUM bad-KF walk, src/System.cc:350-360)
+            Trw = np.eye(4)
+            while ref >= 0 and not kf_valid[ref]:
+                Trw = Trw @ kf_Tcp[ref]
+                ref = kf_parent[ref]
+            if ref < 0:
+                continue
+            out.append((ts, Tcr @ Trw @ kf_pose[ref]))
         return out
 
     def save_trajectory_tum(self, path):

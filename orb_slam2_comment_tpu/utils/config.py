@@ -51,6 +51,7 @@ class SlamConfig:
     # Pipeline toggles
     enable_local_ba: bool = True
     enable_loop_closing: bool = True
+    enable_kf_culling: bool = True
     localization_only: bool = False
     # Tracking execution mode: True = single fused device program with one
     # host sync per frame (fast on remote-attached TPUs); False = the

@@ -62,6 +62,50 @@ class TestFullLocalMapping:
         assert (obs[valid] >= 2).sum() > 100  # multi-view points exist
 
 
+class TestKeyFrameCulling:
+    def test_redundant_kf_culled_and_tree_reparented(self):
+        """LocalMapping::KeyFrameCulling (src/LocalMapping.cc:632-758): with
+        5 KFs observing the same close stereo points at octave 0, the
+        middle KFs are redundant until the per-point observer count falls
+        below 3; the spanning tree re-parents through culled nodes and
+        kf_Tcp reconstructs the culled pose."""
+        cfg = _cfg()
+        m = ms.empty_map(8, 64, 64)
+        npt = 60
+        poses = []
+        kf_pose = m.kf_pose
+        for i in range(5):
+            T = np.eye(4)
+            T[0, 3] = 0.1 * i
+            poses.append(T)
+            kf_pose = kf_pose.at[i].set(jnp.asarray(T))
+        obs = m.kf_obs
+        for i in range(5):
+            obs = obs.at[i, :npt].set(jnp.arange(npt))
+        m = m._replace(
+            kf_pose=kf_pose,
+            kf_valid=m.kf_valid.at[:5].set(True),
+            kf_obs=obs,
+            kf_feat_valid=m.kf_feat_valid.at[:5, :npt].set(True),
+            kf_depth=m.kf_depth.at[:5, :npt].set(2.0),   # close (< thDepth)
+            kf_uright=m.kf_uright.at[:5, :npt].set(10.0),
+            kf_parent=m.kf_parent.at[1].set(0).at[2].set(1)
+                                 .at[3].set(2).at[4].set(3),
+            pt_valid=m.pt_valid.at[:npt].set(True),
+        )
+        m2 = lm.cull_keyframes(m, jnp.asarray(4, jnp.int32), cfg)
+        valid = np.asarray(m2.kf_valid)
+        assert valid[0] and valid[4]          # origin + current survive
+        assert not valid[1] and not valid[2]  # redundant -> culled
+        assert valid[3]                       # observers fell below 3
+        # children re-parented to the culled KF's parent
+        assert int(m2.kf_parent[2]) == 0
+        assert int(m2.kf_parent[3]) == 0
+        # frozen Tcp reconstructs the culled KF's pose from its parent
+        T1 = np.asarray(m2.kf_Tcp[1]) @ np.asarray(m2.kf_pose[0])
+        np.testing.assert_allclose(T1, poses[1], atol=1e-5)
+
+
 class TestCulling:
     def test_low_found_ratio_culled(self):
         cfg = _cfg()
