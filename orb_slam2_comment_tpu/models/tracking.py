@@ -398,6 +398,66 @@ def _match_ref_kf(m: ms.MapState, ref_kf: jax.Array, feats, cfg: SlamConfig):
     return assoc, jnp.sum(assoc >= 0)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _track_vo_frame(
+    last_feats,
+    last_depth: jax.Array,    # [N] metric depth of the previous frame (-1 = none)
+    last_uright: jax.Array,   # [N]
+    T_last: jax.Array,
+    T_pred: jax.Array,
+    feats,
+    uright: jax.Array,
+    cfg: SlamConfig,
+):
+    """Visual-odometry tracking against the previous frame — the
+    fixed-shape analogue of the temporal 'visual odometry' MapPoints the
+    reference creates from the last frame's depth in localization-only
+    mode (Tracking::UpdateLastFrame, src/Tracking.cc:801-865, consumed by
+    the mbVO branch of Track(), src/Tracking.cc:333-391).
+
+    Instead of allocating temporary map points, the previous frame's
+    depth-bearing features are backprojected through its pose and matched
+    into the current frame by projection; a motion-only LM solve gives the
+    odometry pose. Returns (Tcw, n_inliers).
+    """
+    z = last_depth
+    ok3d = last_feats.valid & (z > 0)
+    Xc = geo.backproject(cfg.K, last_feats.xy, z)
+    Xw = geo.transform_points(geo.inv_T(T_last), Xc)
+    Xp = geo.transform_points(T_pred, Xw)
+    uv = geo.project(cfg.K, Xp)
+    h, w = cfg.height, cfg.width
+    visible = (
+        ok3d
+        & (Xp[:, 2] > 0.05)
+        & (uv[:, 0] >= 0) & (uv[:, 0] < w)
+        & (uv[:, 1] >= 0) & (uv[:, 1] < h)
+    )
+    res = matching.match_projection(
+        proj_xy=uv,
+        proj_valid=visible,
+        proj_desc=last_feats.desc,
+        proj_octave=last_feats.octave,
+        feats=feats,
+        radius=jnp.asarray(15.0),
+        scale_factors=jnp.asarray(cfg.orb.scales),
+        max_dist=cfg.th_high,
+        nn_ratio=0.9,
+        angles_p=last_feats.angle,
+    )
+    n = feats.xy.shape[0]
+    rows = jnp.where(visible, jnp.arange(n, dtype=jnp.int32), -1)
+    assoc = _invert_matches(res, rows, n)
+    valid = (assoc >= 0) & feats.valid
+    pid = jnp.clip(assoc, 0, n - 1)
+    obs = jnp.concatenate([feats.xy, uright[:, None]], axis=-1)
+    out = optim.pose_optimize(
+        T_pred, Xw[pid], obs, feats.octave, uright >= 0, valid,
+        _inv_sigma2(cfg), cfg.K, cfg.bf,
+    )
+    return out.Tcw, out.n_inliers
+
+
 # ---------------------------------------------------------------------------
 # fused per-frame kernel (ONE device program, ONE host pull per frame)
 #
@@ -931,6 +991,8 @@ class Tracker:
         self.new_kf_callbacks = []   # local-mapping hook
         self.reloc_fn = None         # relocalization hook (set by System)
         self.n_last_inliers = 0
+        self.vo = False              # mbVO: tracking on temporal VO points
+                                     # (localization-only, Tracking.cc:333)
         self.trajectory = []         # (timestamp, Tcr, ref_kf, state)
         self.kf_ts_host = np.zeros(cfg.max_keyframes, np.float64)
         # async fused-pipeline state
@@ -1038,11 +1100,16 @@ class Tracker:
         """Rebuild the device tracker state after a host-path transition
         (initialization, staged retry, relocalization)."""
         vel = self.velocity if self.velocity is not None else np.eye(4)
+        # jnp.array (copy=True) rather than jnp.asarray: the ds is donated
+        # to the fused step kernels, and aliasing frame.Tcw / frame.assoc /
+        # self.velocity here would delete the buffers the host-side
+        # last_frame / last_Tcw / velocity still reference when tracking
+        # later falls back to the host path (e.g. localization-only mode).
         self.ds = DeviceTrackState(
-            T_last=jnp.asarray(frame.Tcw, jnp.float32).reshape(4, 4),
-            velocity=jnp.asarray(vel, jnp.float32).reshape(4, 4),
+            T_last=jnp.array(frame.Tcw, jnp.float32).reshape(4, 4),
+            velocity=jnp.array(vel, jnp.float32).reshape(4, 4),
             have_vel=jnp.asarray(self.velocity is not None),
-            last_assoc=jnp.asarray(frame.assoc, jnp.int32),
+            last_assoc=jnp.array(frame.assoc, jnp.int32),
             ref_kf=jnp.asarray(self.ref_kf, jnp.int32),
             n_kfs=jnp.asarray(self.n_kfs, jnp.int32),
             n_pts=jnp.asarray(self.n_pts_dev, jnp.int32)
@@ -1053,8 +1120,14 @@ class Tracker:
 
     # -- fused async entry points -------------------------------------------
     def _fused_ok(self):
+        # localization-only runs the host path: the VO fallback needs the
+        # previous frame's features/depth, which the fused pipeline does
+        # not retain host-side
         return (
-            self.cfg.fused_tracking and self.state == OK and self.ds is not None
+            self.cfg.fused_tracking
+            and self.state == OK
+            and self.ds is not None
+            and not self.cfg.localization_only
         )
 
     def _dispatch_fused(self, step_fn, frame_id, ts, *arrays):
@@ -1276,8 +1349,11 @@ class Tracker:
             tracked, n_inliers = self._staged_retry(frame)
             if tracked:
                 stats = None
+        vo_frame = False
         if not tracked and self.reloc_fn is not None:
-            # Relocalization (Tracking.cc:436-448 -> Relocalization:1341)
+            # Relocalization (Tracking.cc:436-448 -> Relocalization:1341).
+            # In localization-only VO mode this runs every frame and is
+            # preferred over the odometry solution (Tracking.cc:352-390).
             ok, Tcw_r, assoc_r = self.reloc_fn(frame)
             if ok:
                 frame.Tcw = Tcw_r
@@ -1288,10 +1364,47 @@ class Tracker:
                 n_inliers = self._track_local_map(frame)
                 tracked = n_inliers >= C.TRACK_LOCAL_MAP_MIN_INLIERS
                 stats = None
+        if (
+            not tracked
+            and cfg.localization_only
+            and self.state == OK
+            and cfg.sensor != MONOCULAR
+            and self.last_frame is not None
+            and self.last_Tcw is not None
+            and self.last_frame.Tcw is not None
+        ):
+            # mbVO branch: off the map, keep odometry going against the
+            # previous frame's depth points (Tracking.cc:333-391, temporal
+            # points from UpdateLastFrame :801-865). Mono has no depth to
+            # back VO points, as in the reference.
+            #
+            # Backproject through the stored pose of last_frame itself, not
+            # self.last_Tcw: in fused/async mode last_frame is only updated
+            # on host-path frames, so right after a mode switch it can be
+            # older than last_Tcw — its depth must be lifted with the pose
+            # it was tracked at.
+            T_last = jnp.asarray(self.last_frame.Tcw)
+            T_pred = (
+                _apply_velocity(self.velocity, jnp.asarray(self.last_Tcw))
+                if self.velocity is not None else jnp.asarray(self.last_Tcw)
+            )
+            Tcw_vo, ninl_vo = _track_vo_frame(
+                self.last_frame.feats, self.last_frame.depth,
+                self.last_frame.uright, T_last, T_pred,
+                frame.feats, frame.uright, cfg,
+            )
+            if int(ninl_vo) >= 10:
+                frame.Tcw = Tcw_vo
+                frame.assoc = jnp.full((frame.n_feat,), -1, jnp.int32)
+                n_inliers = int(ninl_vo)
+                tracked = True
+                vo_frame = True
+                stats = None
         if not tracked:
             self.state = LOST
             return TrackOutput(LOST, None, 0, False, ref_kf=self.ref_kf)
 
+        self.vo = vo_frame
         self.state = OK
         # motion model update (Tracking.cc:423-434), device-resident
         if self.last_Tcw is not None:

@@ -114,3 +114,30 @@ class TestSystemRGBD:
         more = syn.make_trajectory("jitter", n_frames=4, step=0.05, seed=5)
         _drive(system, scene, more)
         assert system.tracker.n_kfs == n_kfs  # no new KFs in loc-only mode
+
+    def test_localization_only_vo_mode(self):
+        """mbVO branch (Tracking.cc:333-391): when the camera leaves the
+        mapped region in localization-only mode, tracking continues as
+        visual odometry against the previous frame's depth points."""
+        import jax.numpy as jnp
+
+        cfg = _cfg()
+        system = System(cfg)
+        scene = syn.make_scene(n_points=1400, seed=0)
+        poses = syn.make_trajectory("jitter", n_frames=6, step=0.05)
+        outs = _drive(system, scene, poses)
+        assert outs[-1][0].state == OK
+        system.activate_localization_mode()
+        # simulate leaving the mapped area: no map point is matchable
+        # (so map tracking AND relocalization both fail), but the scene
+        # still renders — odometry must carry the pose
+        t = system.tracker
+        t.map = t.map._replace(pt_valid=jnp.zeros_like(t.map.pt_valid))
+        more = syn.make_trajectory("forward", n_frames=6, step=0.08)
+        outs2 = _drive(system, scene, more)
+        errs = []
+        for out, gt in outs2[1:]:
+            assert out.state == OK, "VO mode lost tracking"
+            errs.append(np.linalg.norm(out.Tcw[:3, 3] - gt[:3, 3]))
+        assert system.tracker.vo, "VO flag not raised"
+        assert max(errs) < 0.08, f"VO drift too large: {errs}"
