@@ -15,8 +15,10 @@ Stages (LoopClosing::Run, :57-88):
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass, field
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -38,6 +40,10 @@ class LoopCloser:
     consistent_groups: list = field(default_factory=list)
     n_loops_closed: int = 0
     run_global_ba: bool = True
+    # accepted loop edges (a, b, S_ba) — KeyFrame::AddLoopEdge
+    # (src/KeyFrame.cc): they stay in every later essential graph
+    # (src/Optimizer.cc:902-910)
+    loop_edges: list = field(default_factory=list)
 
     # ------------------------------------------------------------------
     def process(self, kf_id: int):
@@ -145,16 +151,46 @@ class LoopCloser:
         )
         if not bool(rres.ok):
             return False, None
+        # SearchBySim3 (src/ORBmatcher.cc:1102, called at LoopClosing.cc:323):
+        # widen the correspondence set by mutual projection agreement under
+        # the RANSAC Sim3, then re-run the Sim3 optimization on the union.
+        j_guided, guided_ok = _sim3_guided_pairs(
+            m, k1, k2, rres.S12, cfg
+        )
+        bow_pair_ok = pair_ok & rres.inliers
+        j_union = jnp.where(bow_pair_ok, res.idx, j_guided)
+        union_ok = bow_pair_ok | (
+            guided_ok
+            & ~bow_pair_ok
+            & m.kf_feat_valid[k1]
+            & (p1 >= 0)
+            & m.pt_valid[jnp.clip(p1, 0, pmax - 1)]
+        )
+        p2u = obs2[j_union]
+        union_ok = union_ok & (p2u >= 0) & m.pt_valid[jnp.clip(p2u, 0, pmax - 1)]
+        X2w_u = m.pt_pos[jnp.clip(p2u, 0, pmax - 1)]
+        Xc2_u = geo.transform_points(T2, X2w_u)
+        uv2_u = m.kf_xy[k2][j_union]
         inv_s2_1 = 1.0 / sigma2[jnp.clip(m.kf_octave[k1], 0, cfg.n_levels - 1)]
         inv_s2_2 = 1.0 / sigma2[
-            jnp.clip(m.kf_octave[k2][res.idx], 0, cfg.n_levels - 1)
+            jnp.clip(m.kf_octave[k2][j_union], 0, cfg.n_levels - 1)
         ]
         ores = optim.sim3_optimize(
-            rres.S12, Xc1, Xc2, uv1, uv2,
-            inv_s2_1, inv_s2_2, pair_ok & rres.inliers,
+            rres.S12, Xc1, Xc2_u, uv1, uv2_u,
+            inv_s2_1, inv_s2_2, union_ok,
             cfg.K, cfg.K, fix_scale=fix_scale,
         )
         if int(ores.n_inliers) < C.LOOP_MIN_INLIERS_SIM3:
+            return False, None
+        # final acceptance (LoopClosing.cc:352-398): project the loop
+        # neighborhood's points into the current KF under the corrected
+        # Scw and require >= 40 total matched features.
+        n_total = int(
+            _count_loop_matches(
+                m, k1, k2, ores.S12, union_ok & ores.inliers, j_union, cfg
+            )
+        )
+        if n_total < C.LOOP_MIN_TOTAL_MATCHES:
             return False, None
         return True, ores.S12
 
@@ -205,9 +241,11 @@ class LoopCloser:
         trk.map = m
 
         # essential graph: spanning tree + strong covis + the new loop edge
+        # + every previously accepted loop edge (src/Optimizer.cc:902-910)
         ei, ej, Sji, valid_edges = _essential_edges(
-            m, trk.n_kfs, kf_id, cand, S12
+            m, trk.n_kfs, kf_id, cand, S12, self.loop_edges
         )
+        self.loop_edges.append((cand, kf_id, np.asarray(S12)))
         res = optim.essential_graph_optimize(
             m.kf_pose,
             m.kf_valid,
@@ -222,9 +260,170 @@ class LoopCloser:
             m.kf_valid[:, None, None], _sim3_to_se3(S_new), m.kf_pose
         ))
         trk.map = m
+        # full-map BA after the graph optimization (LoopClosing.cc:575-579
+        # launches RunGlobalBundleAdjustment; synchronous here — see
+        # _global_ba_kernel docstring)
+        if self.run_global_ba:
+            trk.map = m = _global_ba_kernel(m, cfg)
         # keep the tracker's host mirrors consistent
         trk.last_Tcw = np.asarray(m.kf_pose[jnp.asarray(kf_id)])
         trk.velocity = None
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _sim3_guided_pairs(m, k1, k2, S12, cfg: SlamConfig):
+    """SearchBySim3 (src/ORBmatcher.cc:1102-1326): project each KF's
+    landmarks into the other camera under the Sim3 and keep pairs on which
+    the two directed searches agree. Returns ([N] int32 kf2-feature index
+    per kf1 feature, [N] bool)."""
+    pmax = cfg.max_points
+    scale_factors = jnp.asarray(cfg.orb.scales)
+    T1, T2 = m.kf_pose[k1], m.kf_pose[k2]
+    p1, p2 = m.kf_obs[k1], m.kf_obs[k2]
+    X1 = m.pt_pos[jnp.clip(p1, 0, pmax - 1)]
+    X2 = m.pt_pos[jnp.clip(p2, 0, pmax - 1)]
+    ok1 = m.kf_feat_valid[k1] & (p1 >= 0) & m.pt_valid[jnp.clip(p1, 0, pmax - 1)]
+    ok2 = m.kf_feat_valid[k2] & (p2 >= 0) & m.pt_valid[jnp.clip(p2, 0, pmax - 1)]
+    S21 = geo.inv_T(S12)
+    # KF2 landmarks -> camera 1 (sR embedded in the 4x4 keeps depth sign)
+    Xc1_of_2 = geo.transform_points(S12, geo.transform_points(T2, X2))
+    uv_in1 = geo.project(cfg.K, Xc1_of_2)
+    # KF1 landmarks -> camera 2
+    Xc2_of_1 = geo.transform_points(S21, geo.transform_points(T1, X1))
+    uv_in2 = geo.project(cfg.K, Xc2_of_1)
+    h, w = cfg.height, cfg.width
+    inb = lambda uv, z: (
+        (z > 0.0)
+        & (uv[:, 0] >= 0) & (uv[:, 0] < w)
+        & (uv[:, 1] >= 0) & (uv[:, 1] < h)
+    )
+    # th=7.5, octave-scaled radius, TH_HIGH, no ratio test — the
+    # reference's SearchBySim3 parameters
+    r21 = matching.match_projection(
+        proj_xy=uv_in1,
+        proj_valid=ok2 & inb(uv_in1, Xc1_of_2[:, 2]),
+        proj_desc=m.kf_desc[k2],
+        proj_octave=m.kf_octave[k2],
+        feats=_feats_of(m, k1),
+        radius=7.5,
+        scale_factors=scale_factors,
+        max_dist=float(C.TH_HIGH),
+        nn_ratio=None,
+    )
+    r12 = matching.match_projection(
+        proj_xy=uv_in2,
+        proj_valid=ok1 & inb(uv_in2, Xc2_of_1[:, 2]),
+        proj_desc=m.kf_desc[k1],
+        proj_octave=m.kf_octave[k1],
+        feats=_feats_of(m, k2),
+        radius=7.5,
+        scale_factors=scale_factors,
+        max_dist=float(C.TH_HIGH),
+        nn_ratio=None,
+    )
+    # agreement: feature i of KF1 matched j (r12), and j's projection
+    # matched back to i (r21) — ORBmatcher.cc:1300-1322
+    n = p1.shape[0]
+    j = jnp.clip(r12.idx, 0, n - 1)
+    agree = r12.ok & r21.ok[j] & (r21.idx[j] == jnp.arange(n))
+    return jnp.where(agree, j, -1), agree
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _count_loop_matches(m, k1, k2, S12, sim3_ok, j_union, cfg: SlamConfig):
+    """Acceptance count (LoopClosing.cc:352-398): project every landmark
+    of the loop KF's covisibility group into the current KF under the
+    corrected Scw = S12 T2w (SearchByProjection(KF, Scw, ...) with th=10)
+    and count current-KF features matched either way."""
+    pmax = cfg.max_points
+    kmax = cfg.max_keyframes
+    # loop group = candidate + its covisible neighbors (weight >= 15)
+    wts = ms.covisibility_weights(m, k2)
+    group = (wts >= C.COVIS_MIN_WEIGHT) & m.kf_valid
+    group = group.at[k2].set(True)
+    obs = jnp.clip(m.kf_obs, 0, pmax - 1)
+    contributes = group[:, None] & (m.kf_obs >= 0) & m.kf_feat_valid
+    loop_pt = (
+        jnp.zeros(pmax, bool).at[obs.reshape(-1)].max(contributes.reshape(-1))
+        & m.pt_valid
+    )
+    Scw = S12 @ m.kf_pose[k2]
+    Xc = geo.transform_points(Scw, m.pt_pos)
+    uv = geo.project(cfg.K, Xc)
+    h, w = cfg.height, cfg.width
+    vis = (
+        loop_pt
+        & (Xc[:, 2] > 0.0)
+        & (uv[:, 0] >= 0) & (uv[:, 0] < w)
+        & (uv[:, 1] >= 0) & (uv[:, 1] < h)
+    )
+    res = matching.match_projection(
+        proj_xy=uv,
+        proj_valid=vis,
+        proj_desc=m.pt_desc,
+        proj_octave=jnp.zeros(pmax, jnp.int32),
+        feats=_feats_of(m, k1),
+        radius=10.0,
+        scale_factors=jnp.asarray(cfg.orb.scales),
+        max_dist=float(C.TH_LOW),
+        nn_ratio=None,
+        octave_band=(0, cfg.n_levels),
+    )
+    n = m.kf_obs.shape[1]
+    matched_feat = jnp.zeros(n, bool).at[
+        jnp.clip(res.idx, 0, n - 1)
+    ].max(res.ok)
+    matched_feat = matched_feat | sim3_ok
+    return jnp.sum(matched_feat)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
+def _global_ba_kernel(m: ms.MapState, cfg: SlamConfig):
+    """Full-map BA after a loop closure (RunGlobalBundleAdjustment,
+    src/LoopClosing.cc:645-737; Optimizer::GlobalBundleAdjustemnt,
+    src/Optimizer.cc:41-47): every valid keyframe (KF 0 fixed) and every
+    valid landmark, solved by the matrix-free Schur/PCG engine. The
+    reference runs this on a transient thread and reconciles KFs created
+    meanwhile through the spanning tree (LoopClosing.cc:676-737); the
+    synchronous pipeline has no concurrent KF creation, so that
+    catch-up pass is vacuously complete here."""
+    kmax = m.kf_pose.shape[0]
+    pmax = m.pt_pos.shape[0]
+    n = m.kf_obs.shape[1]
+    obs_pt_raw = m.kf_obs.reshape(-1)
+    obs_pt = jnp.clip(obs_pt_raw, 0, pmax - 1)
+    obs_valid = (
+        (obs_pt_raw >= 0)
+        & m.kf_feat_valid.reshape(-1)
+        & jnp.repeat(m.kf_valid, n)
+        & m.pt_valid[obs_pt]
+    )
+    prob = optim.BAProblem(
+        cam_T=m.kf_pose,
+        cam_fixed=jnp.arange(kmax) == 0,
+        cam_valid=m.kf_valid,
+        pts=m.pt_pos,
+        pt_valid=m.pt_valid,
+        obs_cam=jnp.repeat(jnp.arange(kmax, dtype=jnp.int32), n),
+        obs_pt=obs_pt,
+        obs_uvr=jnp.concatenate(
+            [m.kf_xy, m.kf_uright[..., None]], axis=-1
+        ).reshape(-1, 3),
+        obs_oct=m.kf_octave.reshape(-1),
+        obs_stereo=(m.kf_uright >= 0).reshape(-1),
+        obs_valid=obs_valid,
+    )
+    inv_s2 = 1.0 / jnp.asarray(
+        [cfg.scale_factor ** (2 * l) for l in range(cfg.n_levels)]
+    )
+    res = optim.global_bundle_adjustment(
+        prob, inv_s2, cfg.K, cfg.bf, iters=C.GBA_ITERS
+    )
+    write_cam = m.kf_valid & (jnp.arange(kmax) != 0)
+    return m._replace(
+        kf_pose=jnp.where(write_cam[:, None, None], res.cam_T, m.kf_pose),
+        pt_pos=jnp.where(m.pt_valid[:, None], res.pts, m.pt_pos),
+    )
 
 
 def _feats_of(m, k):
@@ -278,9 +477,11 @@ def _remap_points_after_graph(m, S_new):
     return m._replace(pt_pos=jnp.where(m.pt_valid[:, None], Xw, m.pt_pos))
 
 
-def _essential_edges(m, n_kfs, kf_id, cand, S12):
+def _essential_edges(m, n_kfs, kf_id, cand, S12, past_loop_edges=()):
     """Edge sets of the essential graph (src/Optimizer.cc:851-983):
-    spanning-tree edges, covisibility edges with weight >= 100, and the new
+    spanning-tree edges, covisibility edges with weight >= 100, previously
+    accepted loop edges (with their CURRENT relative pose, as the reference
+    uses current estimates for all but the new constraint), and the new
     loop edge with its measured Sim3."""
     edges = []
     poses = np.asarray(m.kf_pose)
@@ -296,6 +497,12 @@ def _essential_edges(m, n_kfs, kf_id, cand, S12):
             if j > k:
                 rel = poses[j] @ np.linalg.inv(poses[k])
                 edges.append((k, int(j), rel))
+    # past loop edges survive forever (Optimizer.cc:902-910); their
+    # measurement is the current relative pose between the two KFs
+    for a, b, _ in past_loop_edges:
+        if a < n_kfs and b < n_kfs:
+            rel = poses[b] @ np.linalg.inv(poses[a])
+            edges.append((a, b, rel))
     # loop edge: with S12 mapping cand-camera to cur-camera coords, the
     # measured relative Sim3 is exactly S_ji = S_cur_w S_cand_w^-1 = S12
     S12n = np.asarray(S12)

@@ -97,9 +97,22 @@ class System:
             return False, None, None
         return relocalize(self.tracker.map, self.db, frame, self.cfg)
 
+    def _maybe_auto_reset(self):
+        """Lost soon after initialization with <=5 KFs in the map: the map
+        is unusable, start over (Tracking::Track, src/Tracking.cc:472-480)."""
+        t = self.tracker
+        if (
+            t.state == LOST
+            and 0 < t.n_kfs <= 5
+            and not self.cfg.localization_only
+        ):
+            print("Track lost soon after initialisation, resetting...")
+            self.reset()
+
     # -- per-frame entry points (System.cc:116-265) -------------------------
     def track_stereo(self, image_left, image_right, timestamp):
         assert self.cfg.sensor == STEREO
+        self._maybe_auto_reset()
         out = self.tracker.track_stereo_arrays(
             self.frame_id, timestamp, image_left, image_right
         )
@@ -108,6 +121,7 @@ class System:
 
     def track_rgbd(self, image, depth_map, timestamp):
         assert self.cfg.sensor == RGBD
+        self._maybe_auto_reset()
         out = self.tracker.track_rgbd_arrays(
             self.frame_id, timestamp, image, depth_map
         )
@@ -120,6 +134,7 @@ class System:
         # (Tracking.cc:243-247). The fixed-shape map keeps one budget for
         # every frame instead; raise n_features in the config if the
         # initializer needs more texture.
+        self._maybe_auto_reset()
         out = self.tracker.track_mono_arrays(self.frame_id, timestamp, image)
         self.frame_id += 1
         return out

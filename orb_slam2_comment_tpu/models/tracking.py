@@ -997,6 +997,15 @@ class Tracker:
         self.kf_ts_host = np.zeros(cfg.max_keyframes, np.float64)
         # async fused-pipeline state
         self.ds: Optional[DeviceTrackState] = None
+        # Upload-lag queue: each entry is (dispatch_fn, args) for a frame
+        # whose input arrays have been enqueued for host->device transfer
+        # but whose device program has not been dispatched yet. Keeping one
+        # frame queued means program_i consumes the image uploaded during
+        # call i-1, so the ~5ms 307KB tunnel transfer of frame i overlaps
+        # the ~6ms device program of frame i-1 instead of serializing
+        # with it (the tunnel can run one transfer and one program
+        # concurrently, but a program cannot start before its input lands).
+        self._upQ = collections.deque()
         self._stageA = collections.deque()    # (frame_id, ts, feats, depth_map)
         self._pending = collections.deque()   # (frame_id, ts, out_array)
         self._resolved = {}                   # frame_id -> TrackOutput
@@ -1034,7 +1043,14 @@ class Tracker:
             self._pending.popleft()
             self._resolve_entry(fid, ts, res)
 
+    def _drain_upload(self, n_keep: int = 0):
+        """Dispatch queued-upload frames until at most n_keep remain."""
+        while len(self._upQ) > n_keep:
+            fn, args = self._upQ.popleft()
+            fn(*args)
+
     def _flush_upto(self, fid: int):
+        self._drain_upload(0)
         while self._stageA and self._stageA[0][0] <= fid:
             self._finish_stageA_front()
         while self._pending and self._pending[0][0] <= fid:
@@ -1131,6 +1147,13 @@ class Tracker:
         )
 
     def _dispatch_fused(self, step_fn, frame_id, ts, *arrays):
+        self._upQ.append(
+            (self._dispatch_fused_now, (step_fn, frame_id, ts) + arrays)
+        )
+        self._drain_upload(n_keep=1)
+        return LazyTrackOutput(self, frame_id)
+
+    def _dispatch_fused_now(self, step_fn, frame_id, ts, *arrays):
         meta = jnp.asarray(
             np.asarray(
                 [frame_id, ts, frame_id - self.last_reloc_frame_id], np.float32
@@ -1142,7 +1165,6 @@ class Tracker:
         self.n_pts_dev = self.ds.n_pts
         self._pending.append((frame_id, ts, out))
         self._pull_async(frame_id, out)
-        return LazyTrackOutput(self, frame_id)
 
     @staticmethod
     def _sample_depth_host(depth_map, xy):
@@ -1167,37 +1189,46 @@ class Tracker:
         self._pending.append((fid, ts, out))
         self._pull_async(fid, out)
 
+    def _dispatch_rgbd_upload(self, fid, ts, img, depth_map):
+        """Dispatch one RGB-D frame whose image upload was enqueued a call
+        earlier: frame fid's extraction fused with the tracking stage of
+        the stage-A head (fid-3). Three frames of stage-A lag cover device
+        queue time + the ~25ms tunnel RTT of the keypoint pull (issued at
+        its dispatch), so the host never blocks; B stages still run
+        strictly in frame order, so tracking semantics are identical to
+        the reference's one-frame chain."""
+        if len(self._stageA) >= 3:
+            fid0, ts0, feats0, dm0, fut0 = self._stageA.popleft()
+            samples = self._sample_depth_host(dm0, fut0.result())
+            meta0 = jnp.asarray(
+                np.asarray(
+                    [fid0, ts0, fid0 - self.last_reloc_frame_id],
+                    np.float32,
+                )
+            )
+            self.map, self.ds, out0, feats = _step_and_extract_rgbd(
+                self.map, self.ds, feats0, jnp.asarray(samples), meta0,
+                img, self.cfg,
+            )
+            self.n_pts_dev = self.ds.n_pts
+            self._pending.append((fid0, ts0, out0))
+            self._pull_async(fid0, out0)
+        else:
+            feats = _extract_stage(img, self.cfg)
+        xy_fut = self._io_pool.submit(np.asarray, feats.xy)
+        self._stageA.append((fid, ts, feats, depth_map, xy_fut))
+
     def track_rgbd_arrays(self, frame_id, ts, image, depth_map):
         self._flush_ready()
         if self._fused_ok():
-            # steady state: ONE device program per frame — frame i-3's
-            # tracking stage fused with frame i's extraction. Three frames
-            # of lag cover device queue time + the ~25ms tunnel RTT of the
-            # keypoint pull (issued at its dispatch), so the host never
-            # blocks; B stages still run strictly in frame order, so
-            # tracking semantics are identical to the reference's
-            # one-frame chain.
-            img = jnp.asarray(image)
-            if len(self._stageA) >= 3:
-                fid0, ts0, feats0, dm0, fut0 = self._stageA.popleft()
-                samples = self._sample_depth_host(dm0, fut0.result())
-                meta0 = jnp.asarray(
-                    np.asarray(
-                        [fid0, ts0, fid0 - self.last_reloc_frame_id],
-                        np.float32,
-                    )
-                )
-                self.map, self.ds, out0, feats = _step_and_extract_rgbd(
-                    self.map, self.ds, feats0, jnp.asarray(samples), meta0,
-                    img, self.cfg,
-                )
-                self.n_pts_dev = self.ds.n_pts
-                self._pending.append((fid0, ts0, out0))
-                self._pull_async(fid0, out0)
-            else:
-                feats = _extract_stage(img, self.cfg)
-            xy_fut = self._io_pool.submit(np.asarray, feats.xy)
-            self._stageA.append((frame_id, ts, feats, depth_map, xy_fut))
+            # steady state: ONE device program per frame, dispatched one
+            # call late so the image upload overlaps the previous frame's
+            # program (see _upQ comment in __init__)
+            self._upQ.append(
+                (self._dispatch_rgbd_upload,
+                 (frame_id, ts, jnp.asarray(image), depth_map))
+            )
+            self._drain_upload(n_keep=1)
             return LazyTrackOutput(self, frame_id)
         from orb_slam2_comment_tpu.models import frame as fr
 

@@ -141,3 +141,35 @@ class TestSystemRGBD:
             errs.append(np.linalg.norm(out.Tcw[:3, 3] - gt[:3, 3]))
         assert system.tracker.vo, "VO flag not raised"
         assert max(errs) < 0.08, f"VO drift too large: {errs}"
+
+    def test_auto_reset_after_early_loss(self):
+        """Lost with <=5 KFs soon after init -> full reset + fresh map on
+        the next frame (Tracking::Track, src/Tracking.cc:472-480)."""
+        import jax.numpy as jnp
+
+        cfg = _cfg()
+        system = System(cfg)
+        scene = syn.make_scene(n_points=1400, seed=0)
+        poses = syn.make_trajectory("jitter", n_frames=3, step=0.05)
+        outs = _drive(system, scene, poses)
+        assert outs[-1][0].state == OK
+        assert 0 < system.tracker.n_kfs <= 5
+        # force loss: make every map point unmatchable
+        t = system.tracker
+        t._flush_all()
+        t.map = t.map._replace(pt_valid=jnp.zeros_like(t.map.pt_valid))
+        more = syn.make_trajectory("jitter", n_frames=6, step=0.05, seed=7)
+        # read each state as a real driver does — resolution of the async
+        # pipeline is what surfaces LOST to the auto-reset check
+        states = []
+        for f in syn.render_sequence(
+            scene, more, K=K, depth=True, baseline=B
+        ):
+            out = system.track_rgbd(f["image"], f["depth"], f["timestamp"])
+            states.append(out.state)
+        # the LOST frame triggers a reset; re-initialization follows and
+        # tracking must be OK again on a fresh map
+        assert LOST in states
+        assert states[-1] == OK, f"did not recover via auto-reset: {states}"
+        assert system.tracker.n_kfs >= 1
+        assert int(jnp.sum(system.tracker.map.pt_valid)) > 0
