@@ -6,11 +6,12 @@ solved and scored in one batched program.
 
 - pnp_ransac replaces PnPsolver (src/PnPsolver.cc: EPnP + adaptive
   RANSAC driven 5-iterations-at-a-time from Tracking::Relocalization,
-  src/Tracking.cc:1341-1502). The minimal solver here is the 6-point DLT
-  with orthonormalization instead of EPnP's control-point
-  parameterization — same role (pose hypothesis from few 3D-2D matches,
-  refined later by pose_optimize), simpler to batch; per-octave chi2
-  inlier gating matches the reference (PnPsolver::SetRansacParameters).
+  src/Tracking.cc:1341-1502). The minimal solver is batched EPnP
+  (control points + barycentric coords + null-space betas with
+  Gauss-Newton refinement, all three beta-approximation cases evaluated
+  per hypothesis); refinement on the winning inlier set is a weighted
+  DLT (PnPsolver::Refine role). Per-octave chi2 inlier gating matches
+  the reference (PnPsolver::SetRansacParameters).
 - sim3_ransac replaces Sim3Solver (src/Sim3Solver.cc): 3-point closed-form
   Horn 1987 absolute orientation (quaternion eigenvector method) with
   optional fixed scale, inliers checked by mutual reprojection in both
@@ -45,6 +46,150 @@ class PnPResult(NamedTuple):
     ok: jax.Array
 
 
+# EPnP control-point pair indexing (PnPsolver::compute_rho /
+# compute_L_6x10, src/PnPsolver.cc): pairs of the 4 control points and the
+# beta-product column order [b11, b12, b22, b13, b23, b33, b14, b24, b34, b44]
+_EPNP_PAIRS = ((0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3))
+_EPNP_B10 = ((0, 0), (0, 1), (1, 1), (0, 2), (1, 2), (2, 2),
+             (0, 3), (1, 3), (2, 3), (3, 3))
+
+
+def _epnp_poses(Xs, us, K):
+    """Batched EPnP (Lepetit et al.; PnPsolver::compute_pose,
+    src/PnPsolver.cc + PnPsolver.h:75-125): [H,S,3] world points and
+    [H,S,2] pixels -> (R [3H,3,3], t [3H,3]) — three candidate poses per
+    hypothesis, one per beta-approximation case, each Gauss-Newton
+    refined. The caller scores all of them; the best wins, which subsumes
+    the reference's per-case reprojection-error comparison."""
+    fx, fy, cx, cy = K
+    H, S = Xs.shape[0], Xs.shape[1]
+
+    # 1. control points: centroid + principal directions
+    #    (PnPsolver::choose_control_points)
+    c0 = jnp.mean(Xs, axis=1)                              # [H,3]
+    A = Xs - c0[:, None, :]
+    cov = jnp.einsum("hsi,hsj->hij", A, A)
+    lam, V = jnp.linalg.eigh(cov)                          # ascending
+    sig = jnp.sqrt(jnp.maximum(lam, 1e-10) / S)            # [H,3]
+    cws = jnp.concatenate(
+        [c0[:, None, :], c0[:, None, :] + sig[..., None] * V.swapaxes(1, 2)],
+        axis=1,
+    )                                                      # [H,4,3]
+
+    # 2. barycentric coordinates (compute_barycentric_coordinates):
+    #    [cws^T; 1] alpha = [X; 1]
+    C = jnp.concatenate(
+        [cws.swapaxes(1, 2), jnp.ones((H, 1, 4), Xs.dtype)], axis=1
+    ) + 1e-9 * jnp.eye(4)
+    Xh = jnp.concatenate([Xs, jnp.ones((H, S, 1), Xs.dtype)], axis=-1)
+    alpha = jnp.linalg.solve(C[:, None], Xh[..., None])[..., 0]  # [H,S,4]
+
+    # 3. M matrix (fill_M) and its 4 smallest right singular vectors
+    z = jnp.zeros((H, S, 4), Xs.dtype)
+    r1 = jnp.stack(
+        [alpha * fx, z, alpha * (cx - us[..., :1])], axis=-1
+    ).reshape(H, S, 12)
+    r2 = jnp.stack(
+        [z, alpha * fy, alpha * (cy - us[..., 1:2])], axis=-1
+    ).reshape(H, S, 12)
+    M = jnp.concatenate([r1, r2], axis=1)                  # [H,2S,12]
+    MtM = jnp.einsum("hki,hkj->hij", M, M)
+    _, evec = jnp.linalg.eigh(MtM)
+    v = evec[..., :4].swapaxes(1, 2).reshape(H, 4, 4, 3)   # [H, k, ctrl, 3]
+
+    # 4. rho and L (compute_rho, compute_L_6x10)
+    dcw = jnp.stack([cws[:, a] - cws[:, b] for a, b in _EPNP_PAIRS], axis=1)
+    rho = jnp.sum(dcw * dcw, axis=-1)                      # [H,6]
+    dv = jnp.stack(
+        [v[:, :, a] - v[:, :, b] for a, b in _EPNP_PAIRS], axis=1
+    )                                                      # [H,6,k,3]
+    cols = []
+    for a, b in _EPNP_B10:
+        dot = jnp.sum(dv[:, :, a] * dv[:, :, b], axis=-1)
+        cols.append(dot if a == b else 2.0 * dot)
+    L = jnp.stack(cols, axis=-1)                           # [H,6,10]
+
+    def lsq(cols_idx):
+        Lc = L[..., jnp.asarray(cols_idx)]
+        AtA = jnp.einsum("hki,hkj->hij", Lc, Lc)
+        AtA = AtA + 1e-9 * jnp.eye(len(cols_idx))
+        Atb = jnp.einsum("hki,hk->hi", Lc, rho)
+        return jnp.linalg.solve(AtA, Atb[..., None])[..., 0]
+
+    def sqrt_signed(x):
+        return jnp.sqrt(jnp.abs(x))
+
+    # betas_approx_1: columns (b11, b12, b13, b14)
+    b4 = lsq((0, 1, 3, 6))
+    s1 = jnp.sign(b4[:, 0:1])
+    beta1_1 = sqrt_signed(b4[:, 0])
+    denom = jnp.where(beta1_1 < 1e-8, 1.0, beta1_1)
+    beta_c1 = jnp.concatenate(
+        [beta1_1[:, None], s1 * b4[:, 1:] / denom[:, None]], axis=1
+    )
+    # betas_approx_2: columns (b11, b12, b22)
+    b3 = lsq((0, 1, 2))
+    beta1_2 = sqrt_signed(b3[:, 0]) * jnp.sign(b3[:, 1])
+    beta2_2 = jnp.where(
+        jnp.sign(b3[:, 2]) == jnp.sign(b3[:, 0]), sqrt_signed(b3[:, 2]), 0.0
+    )
+    beta_c2 = jnp.stack(
+        [beta1_2, beta2_2, jnp.zeros(H), jnp.zeros(H)], axis=1
+    )
+    # betas_approx_3: columns (b11, b12, b22, b13, b23)
+    b5 = lsq((0, 1, 2, 3, 4))
+    beta1_3 = sqrt_signed(b5[:, 0]) * jnp.sign(b5[:, 1])
+    beta2_3 = jnp.where(
+        jnp.sign(b5[:, 2]) == jnp.sign(b5[:, 0]), sqrt_signed(b5[:, 2]), 0.0
+    )
+    d3 = jnp.where(jnp.abs(beta1_3) < 1e-8, 1.0, beta1_3)
+    beta_c3 = jnp.stack(
+        [beta1_3, beta2_3, b5[:, 3] / d3, jnp.zeros(H)], axis=1
+    )
+
+    def gauss_newton(beta):
+        """5 iterations on f(beta) = L beta10(beta) - rho
+        (PnPsolver::gauss_newton)."""
+        def b10_and_jac(b):
+            prods = jnp.stack(
+                [b[:, a] * b[:, bb] for a, bb in _EPNP_B10], axis=1
+            )                                              # [H,10]
+            # d(beta_a * beta_b)/d(beta_k)
+            Jcols = []
+            for a, bb in _EPNP_B10:
+                row = [jnp.zeros(H)] * 4
+                row[a] = row[a] + b[:, bb]
+                row[bb] = row[bb] + b[:, a]
+                Jcols.append(jnp.stack(row, axis=1))
+            J10 = jnp.stack(Jcols, axis=1)                 # [H,10,4]
+            return prods, J10
+
+        def step(b, _):
+            prods, J10 = b10_and_jac(b)
+            r = jnp.einsum("hkc,hc->hk", L, prods) - rho   # [H,6]
+            Jf = jnp.einsum("hkc,hcj->hkj", L, J10)        # [H,6,4]
+            AtA = jnp.einsum("hki,hkj->hij", Jf, Jf) + 1e-8 * jnp.eye(4)
+            Atb = jnp.einsum("hki,hk->hi", Jf, r)
+            return b - jnp.linalg.solve(AtA, Atb[..., None])[..., 0], None
+
+        beta, _ = jax.lax.scan(step, beta, None, length=5)
+        return beta
+
+    Rs, ts = [], []
+    for beta in (beta_c1, beta_c2, beta_c3):
+        beta = gauss_newton(beta)
+        cc = jnp.einsum("hk,hkcj->hcj", beta, v)           # [H,4ctrl,3]
+        pcs = jnp.einsum("hsc,hcj->hsj", alpha, cc)        # [H,S,3]
+        # cheirality: flip if points land behind the camera
+        # (PnPsolver::compute_ccs sign fix)
+        flip = jnp.sum(pcs[..., 2], axis=1) < 0
+        pcs = jnp.where(flip[:, None, None], -pcs, pcs)
+        R, _, t = _horn_batch(pcs, Xs, fix_scale=True)
+        Rs.append(R)
+        ts.append(t)
+    return jnp.concatenate(Rs, axis=0), jnp.concatenate(ts, axis=0)
+
+
 @functools.partial(jax.jit, static_argnames=("K", "n_hyp", "set_size"))
 def pnp_ransac(
     Xw: jax.Array,          # [N, 3]
@@ -55,10 +200,12 @@ def pnp_ransac(
     K: tuple,
     seed: int = 0,
     n_hyp: int = 128,
-    set_size: int = 6,
+    set_size: int = 4,
 ) -> PnPResult:
-    """Batched DLT-PnP RANSAC. Returns the best hypothesis pose and its
-    chi2(2dof)-gated inliers."""
+    """Batched EPnP RANSAC (PnPsolver, src/PnPsolver.cc): minimal sets of
+    4, EPnP control-point solver per hypothesis (3 beta cases each),
+    chi2(2dof)-gated inliers, weighted-DLT refinement on the best
+    hypothesis' inlier set (PnPsolver::Refine)."""
     fx, fy, cx, cy = K
     n = Xw.shape[0]
     key = jax.random.PRNGKey(seed)
@@ -118,7 +265,7 @@ def pnp_ransac(
         inl = (chi2 < 5.991) & (Xc[..., 2] > 0) & valid[None, :]
         return inl, jnp.sum(inl, axis=1)
 
-    R, t = dlt_poses(Xw[idx], uv[idx], jnp.ones(idx.shape))
+    R, t = _epnp_poses(Xw[idx], uv[idx], K)
     inl, scores = score(R, t)
     best = jnp.argmax(scores)
 

@@ -35,6 +35,33 @@ class TestPnP:
         inl = np.asarray(res.inliers)
         assert not inl[out_idx].any() or inl[out_idx].mean() < 0.1
 
+    def test_epnp_minimal_exact(self):
+        """Noise-free data: the EPnP minimal solver (PnPsolver.cc EPnP
+        path) must recover the pose to numerical precision."""
+        T_gt, X, uv, _ = self._problem(n=60, outlier_frac=0.0, noise=0.0)
+        res = ransac.pnp_ransac(
+            jnp.asarray(X), jnp.asarray(uv), jnp.zeros(len(X), jnp.int32),
+            jnp.ones(len(X), bool), SIGMA2, K,
+        )
+        assert bool(res.ok)
+        assert int(res.n_inliers) >= 55
+        d = np.asarray(geo.se3_log(res.Tcw @ geo.inv_T(jnp.asarray(T_gt))))
+        assert np.linalg.norm(d) < 2e-3, d
+
+    def test_epnp_low_inlier_ratio(self):
+        """60% outliers: 4-point minimal sets keep the hypothesis hit rate
+        workable (the reason the reference uses EPnP over 6-point DLT)."""
+        T_gt, X, uv, out_idx = self._problem(
+            n=120, outlier_frac=0.6, noise=0.4, seed=3
+        )
+        res = ransac.pnp_ransac(
+            jnp.asarray(X), jnp.asarray(uv), jnp.zeros(len(X), jnp.int32),
+            jnp.ones(len(X), bool), SIGMA2, K,
+        )
+        assert bool(res.ok)
+        d = np.asarray(geo.se3_log(res.Tcw @ geo.inv_T(jnp.asarray(T_gt))))
+        assert np.linalg.norm(d) < 0.05, d
+
     def test_fails_gracefully_on_garbage(self):
         r = np.random.default_rng(1)
         X = r.uniform(-3, 3, (40, 3)).astype(np.float32) + [0, 0, 5]
