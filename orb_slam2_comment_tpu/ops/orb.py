@@ -180,19 +180,166 @@ def fast_score_map(img: jax.Array) -> jax.Array:
     return jnp.maximum(jnp.max(m_bright, axis=0), jnp.max(m_dark, axis=0))
 
 
+# ---------------------------------------------------------------------------
+# fused FAST + border mask + NMS as a Pallas TPU kernel
+#
+# The jnp path (fast_score_map -> mask -> _nms3) materializes the [16, H, W]
+# ring stack and its running minima in HBM — ~25 full-image HBM passes per
+# level. The Pallas kernel keeps the whole working set of a row tile in
+# VMEM: one HBM read of the tile (+halo) and one write of the result.
+#
+# Halo handling: the same image is passed three times with block index
+# maps (i-1, i, i+1, edge-clamped); the kernel assembles a [TILE+8, W]
+# strip. At the first/last tile the assembled halo rows are wrong, but
+# every affected output row lies inside the EDGE_THRESHOLD=19 border the
+# kernel masks to zero anyway — same for the column wraparound introduced
+# by pltpu.roll lane shifts (|dx| <= 3 < 19).
+# ---------------------------------------------------------------------------
+
+_FAST_TILE = 48
+
+
+def _fast_nms_kernel(h: int, w: int, tile: int):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def lroll(x, dx):
+        """Shift columns so out[:, j] = x[:, j + dx] (pltpu.roll wants a
+        non-negative shift; wraparound lands in the masked border)."""
+        return pltpu.roll(x, shift=(-dx) % x.shape[1], axis=1)
+
+    def kernel(prev_ref, cur_ref, next_ref, out_ref):
+        i = pl.program_id(0)
+        strip = jnp.concatenate(
+            [prev_ref[tile - 4:], cur_ref[:], next_ref[:4]], axis=0
+        )  # [tile+8, W]; strip row r = image row i*tile - 4 + r
+        th2 = tile + 2
+        c = strip[3:3 + th2]  # centers for score rows i*tile-1 .. i*tile+tile
+        ds = []
+        for dx, dy in _RING:
+            sh = lroll(strip, dx) if dx else strip
+            ds.append(sh[3 + dy:3 + dy + th2] - c)
+        dcat = ds + ds[:_ARC - 1]
+        m_b = list(ds)
+        m_d = [-d for d in ds]
+        for j in range(1, _ARC):
+            for k in range(16):
+                m_b[k] = jnp.minimum(m_b[k], dcat[k + j])
+                m_d[k] = jnp.minimum(m_d[k], -dcat[k + j])
+        score = m_b[0]
+        for k in range(1, 16):
+            score = jnp.maximum(score, m_b[k])
+        for k in range(16):
+            score = jnp.maximum(score, m_d[k])
+        # border mask (EDGE_THRESHOLD) on global coordinates, applied
+        # BEFORE NMS exactly like the jnp path
+        margin = C.EDGE_THRESHOLD
+        gy = (
+            jax.lax.broadcasted_iota(jnp.int32, score.shape, 0)
+            + i * tile - 1
+        )
+        gx = jax.lax.broadcasted_iota(jnp.int32, score.shape, 1)
+        inb = (
+            (gy >= margin) & (gy < h - margin)
+            & (gx >= margin) & (gx < w - margin)
+        )
+        score = jnp.where(inb, score, 0.0)
+        # 3x3 NMS with the same lexicographic (score desc, index asc)
+        # tie-break as _nms3. Row neighbors come from sublane slices (an
+        # axis-0 roll would wrap rows across the tile boundary); column
+        # neighbors from lane rolls, whose wraparound lands in the masked
+        # border (where scores are already zero).
+        idx = gy * score.shape[1] + gx  # [th2, W] global-ish index: any
+        # strictly increasing row-major key works for the tie-break; using
+        # the padded width keeps it monotone across the wrapped columns
+        best_v = score[1:1 + tile]
+        best_i = idx[1:1 + tile]
+        for dy in (-1, 0, 1):
+            v_base = score[1 + dy:1 + dy + tile]
+            i_base = idx[1 + dy:1 + dy + tile]
+            for dx in (-1, 0, 1):
+                if dx == 0 and dy == 0:
+                    continue
+                v = lroll(v_base, dx) if dx else v_base
+                i2 = lroll(i_base, dx) if dx else i_base
+                take = (v > best_v) | ((v == best_v) & (i2 < best_i))
+                best_v = jnp.where(take, v, best_v)
+                best_i = jnp.where(take, i2, best_i)
+        out_ref[:] = jnp.where(
+            best_i == idx[1:1 + tile], score[1:1 + tile], 0.0
+        )
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fast_nms_pallas(img: jax.Array, interpret: bool = False) -> jax.Array:
+    """Fused FAST score + border mask + 3x3 NMS (Pallas TPU kernel).
+
+    Numerically equivalent to
+    `_nms3(where(inb, fast_score_map(img), 0))` — validated against that
+    path in tests/test_orb.py."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    h, w = img.shape
+    tile = _FAST_TILE
+    hp = -(-h // tile) * tile
+    wp = -(-w // 128) * 128
+    imp = jnp.pad(img, ((0, hp - h), (0, wp - w)))
+    n_tiles = hp // tile
+
+    def idx_prev(i):
+        return (jnp.maximum(i - 1, 0), 0)
+
+    def idx_cur(i):
+        return (i, 0)
+
+    def idx_next(i):
+        return (jnp.minimum(i + 1, n_tiles - 1), 0)
+
+    spec = lambda im: pl.BlockSpec((tile, wp), im, memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _fast_nms_kernel(h, w, tile),
+        out_shape=jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+        grid=(n_tiles,),
+        in_specs=[spec(idx_prev), spec(idx_cur), spec(idx_next)],
+        out_specs=pl.BlockSpec((tile, wp), idx_cur, memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(imp, imp, imp)
+    return out[:h, :w]
+
+
 def _nms3(score: jax.Array) -> jax.Array:
-    """3x3 non-maximum suppression; keeps strict local maxima (ties broken
-    towards the top-left via an epsilon index ramp)."""
+    """3x3 non-maximum suppression; keeps the lexicographic (score desc,
+    index asc) maximum of each window — exact tie-break towards the
+    top-left. (An epsilon index ramp added to the score is NOT exact: the
+    1e-6 steps fall below the f32 ulp at score magnitudes >= 32, so equal
+    scores could tie or not depending on how the compiler fuses the
+    arithmetic.)"""
     h, w = score.shape
-    eps = (
-        jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) * w
-        + jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
-    ) * -1e-6
-    s = score + eps
-    mx = jax.lax.reduce_window(
-        s, -jnp.inf, jax.lax.max, (3, 3), (1, 1), "SAME"
+    idx = (
+        jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) * w
+        + jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     )
-    return jnp.where(s >= mx, score, 0.0)
+    big = jnp.int32(1 << 30)
+    best_v, best_i = score, idx
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dx == 0 and dy == 0:
+                continue
+            v = jnp.full((h, w), -jnp.inf, score.dtype)
+            i2 = jnp.full((h, w), big, jnp.int32)
+            ys = slice(max(dy, 0), h + min(dy, 0))
+            yd = slice(max(-dy, 0), h + min(-dy, 0))
+            xs = slice(max(dx, 0), w + min(dx, 0))
+            xd = slice(max(-dx, 0), w + min(-dx, 0))
+            v = v.at[yd, xd].set(score[ys, xs])
+            i2 = i2.at[yd, xd].set(idx[ys, xs])
+            take = (v > best_v) | ((v == best_v) & (i2 < best_i))
+            best_v = jnp.where(take, v, best_v)
+            best_i = jnp.where(take, i2, best_i)
+    return jnp.where(best_i == idx, score, 0.0)
 
 
 def _blur7(img: jax.Array) -> jax.Array:
@@ -455,13 +602,21 @@ def _extract_impl(image: jax.Array, cfg: ORBConfig, shape):
             level_img = _resize_level(level_img, sizes[lvl])
         pyramid.append(level_img)
         lh, lw = sizes[lvl]
-        score = fast_score_map(level_img)
-        # mask borders so patches/descriptors stay in-bounds
-        ys = jax.lax.broadcasted_iota(jnp.int32, (lh, lw), 0)
-        xs = jax.lax.broadcasted_iota(jnp.int32, (lh, lw), 1)
-        inb = (ys >= margin) & (ys < lh - margin) & (xs >= margin) & (xs < lw - margin)
-        score = jnp.where(inb, score, 0.0)
-        score = _nms3(score)
+        if jax.default_backend() == "tpu":
+            # fused Pallas kernel: one HBM round trip per level instead of
+            # ~25 (ring stack + running minima stay in VMEM)
+            score = fast_nms_pallas(level_img)
+        else:
+            score = fast_score_map(level_img)
+            # mask borders so patches/descriptors stay in-bounds
+            ys = jax.lax.broadcasted_iota(jnp.int32, (lh, lw), 0)
+            xs = jax.lax.broadcasted_iota(jnp.int32, (lh, lw), 1)
+            inb = (
+                (ys >= margin) & (ys < lh - margin)
+                & (xs >= margin) & (xs < lw - margin)
+            )
+            score = jnp.where(inb, score, 0.0)
+            score = _nms3(score)
         xy_l, resp, valid = _select_keypoints(score, budgets[lvl], cfg.cell, cfg.min_th)
         xy_lvl.append(xy_l)
         resp_all.append(resp)

@@ -157,3 +157,32 @@ class TestExtract:
         s2 = np.asarray(orb.unpack_descriptors_signed(f2.desc, jnp.float32))[jj]
         ham = (256 - float(s1 @ s2)) / 2
         assert ham < 80, f"rotated-self hamming {ham}"
+
+
+class TestFastNmsPallas:
+    def test_matches_jnp_reference(self):
+        """The fused Pallas FAST+NMS kernel (interpret mode on CPU) must
+        reproduce the jnp path bit-for-bit: same score map after border
+        mask and 3x3 NMS."""
+        import jax
+        import jax.numpy as jnp
+
+        from orb_slam2_comment_tpu import constants as C
+        from orb_slam2_comment_tpu.ops import orb
+
+        r = np.random.default_rng(0)
+        for h, w in [(480, 640), (134, 178), (96, 128)]:
+            img = jnp.asarray(
+                r.integers(0, 255, (h, w)).astype(np.float32)
+            )
+            ref = orb.fast_score_map(img)
+            ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+            xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+            m = C.EDGE_THRESHOLD
+            inb = (ys >= m) & (ys < h - m) & (xs >= m) & (xs < w - m)
+            ref = orb._nms3(jnp.where(inb, ref, 0.0))
+            got = orb.fast_nms_pallas(img, interpret=True)
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(ref), rtol=0, atol=1e-5,
+                err_msg=f"shape {(h, w)}",
+            )
