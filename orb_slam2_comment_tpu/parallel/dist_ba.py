@@ -106,6 +106,58 @@ def distributed_global_ba(
     return jax.tree.map(lambda x: jax.device_get(x), res)
 
 
+def distributed_essential_graph(
+    S0,
+    kf_valid,
+    kf_fixed,
+    edge_i,
+    edge_j,
+    edge_Sji,
+    edge_valid,
+    mesh: Mesh,
+    fix_scale: bool = False,
+    iters: int | None = None,
+) -> optim.PoseGraphResult:
+    """Pose-graph (essential-graph) optimization with the EDGE axis
+    sharded over the mesh — the multi-host form of
+    Optimizer::OptimizeEssentialGraph (src/Optimizer.cc:781-1044).
+
+    Each device computes residuals + Jacobians for its edge shard; the
+    scatter-adds into the dense normal system become partial sums + psum
+    under GSPMD, and the replicated [7K,7K] solve runs identically on
+    every device (K of the essential graph is small; communication is one
+    all-reduce of H and b per GN iteration)."""
+    n = mesh.devices.size
+    E = edge_i.shape[0]
+    E_pad = -(-E // n) * n
+    if E_pad != E:
+        pad = E_pad - E
+        edge_i = jnp.concatenate([edge_i, jnp.zeros(pad, edge_i.dtype)])
+        edge_j = jnp.concatenate([edge_j, jnp.zeros(pad, edge_j.dtype)])
+        edge_Sji = jnp.concatenate(
+            [edge_Sji, jnp.tile(jnp.eye(4, dtype=edge_Sji.dtype), (pad, 1, 1))]
+        )
+        edge_valid = jnp.concatenate(
+            [edge_valid, jnp.zeros(pad, bool)]
+        )
+    esh = NamedSharding(mesh, P(BA_AXIS))
+    rep = NamedSharding(mesh, P())
+    kw = {} if iters is None else {"iters": iters}
+    with jax.set_mesh(mesh):
+        res = optim.essential_graph_optimize(
+            jax.device_put(S0, rep),
+            jax.device_put(kf_valid, rep),
+            jax.device_put(kf_fixed, rep),
+            jax.device_put(edge_i, esh),
+            jax.device_put(edge_j, esh),
+            jax.device_put(edge_Sji, esh),
+            jax.device_put(edge_valid, esh),
+            fix_scale=fix_scale,
+            **kw,
+        )
+    return jax.tree.map(lambda x: jax.device_get(x), res)
+
+
 def make_synthetic_ba_problem(n_cams=8, n_pts=128, obs_per_cam=64, seed=0,
                               K=(500.0, 500.0, 320.0, 240.0), bf=100.0,
                               noise=0.3, perturb=0.02):

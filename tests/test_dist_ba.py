@@ -68,3 +68,55 @@ class TestDistributedBA:
         padded = dist_ba.pad_problem(prob, 8)
         assert padded.obs_cam.shape[0] % 8 == 0
         assert int(padded.obs_valid.sum()) == int(prob.obs_valid.sum())
+
+
+class TestDistributedEssentialGraph:
+    def _circle_graph(self, n_kf=12, seed=4):
+        r = np.random.default_rng(seed)
+        S_gt = []
+        for i in range(n_kf):
+            th = 2 * np.pi * i / n_kf
+            xi = np.array(
+                [np.sin(th) * 2, 0, (1 - np.cos(th)) * 2, 0, th, 0],
+                np.float32,
+            )
+            S_gt.append(np.asarray(geo.se3_exp(jnp.asarray(xi))))
+        S_gt = np.stack(S_gt)
+        S_est = [S_gt[0]]
+        for i in range(1, n_kf):
+            rel_gt = S_gt[i] @ np.linalg.inv(S_gt[i - 1])
+            noise = np.asarray(geo.se3_exp(jnp.asarray(
+                r.normal(0, 0.02, 6).astype(np.float32))))
+            S_est.append(noise @ rel_gt @ S_est[i - 1])
+        ei, ej, Sji = [], [], []
+        for i in range(n_kf - 1):
+            ei.append(i); ej.append(i + 1)
+            Sji.append(S_gt[i + 1] @ np.linalg.inv(S_gt[i]))
+        ei.append(n_kf - 1); ej.append(0)
+        Sji.append(S_gt[0] @ np.linalg.inv(S_gt[n_kf - 1]))
+        return (np.stack(S_est), S_gt, np.asarray(ei, np.int32),
+                np.asarray(ej, np.int32), np.stack(Sji).astype(np.float32))
+
+    def test_matches_single_device(self):
+        """Edge-sharded pose-graph optimization over the 8-device mesh
+        must agree with the single-device solve (GSPMD psum assembly)."""
+        S_est, S_gt, ei, ej, Sji = self._circle_graph()
+        n_kf = S_est.shape[0]
+        args = (
+            jnp.asarray(S_est), jnp.ones(n_kf, bool),
+            jnp.asarray([True] + [False] * (n_kf - 1)),
+            jnp.asarray(ei), jnp.asarray(ej), jnp.asarray(Sji),
+            jnp.ones(len(ei), bool),
+        )
+        res_1 = optim.essential_graph_optimize(*args)
+        mesh = dist_ba.make_mesh()
+        assert mesh.devices.size == 8  # conftest forces the virtual mesh
+        res_n = dist_ba.distributed_essential_graph(*args, mesh=mesh)
+        np.testing.assert_allclose(
+            np.asarray(res_n.S), np.asarray(res_1.S), atol=1e-4
+        )
+        # and it actually solved the problem
+        for i in range(n_kf):
+            d = np.asarray(geo.sim3_log(jnp.asarray(
+                np.asarray(res_n.S)[i] @ np.linalg.inv(S_gt[i]))))
+            assert np.linalg.norm(d) < 0.02, (i, d)
