@@ -516,6 +516,10 @@ def _rotated_test_indices(xy, angle, wl, hl, base):
 
 _PATCH_R = 21          # pattern radius <=17.7 rotated -> +/-18, +3 blur taps
 _PATCH_W = 2 * _PATCH_R + 1
+# x-extent of the stored patch: 5 extra columns so each patch is a
+# DMA-friendly [43, 48] block (the BRIEF matrix rows at the pad columns
+# are zero, so the extra pixels never contribute)
+_PATCH_WX = _PATCH_W + 5
 # keypoints keep EDGE_THRESHOLD=19 from level borders; the patch reaches
 # 21px, so the padded level stack carries this much extra zero margin
 _PATCH_PAD = _PATCH_R - C.EDGE_THRESHOLD + 1  # = 3 (1 slack for rounding)
@@ -523,11 +527,14 @@ _BRIEF_Q = 64
 
 
 @functools.lru_cache(maxsize=None)
-def _brief_matrix_np(qb: int = _BRIEF_Q) -> np.ndarray:
+def _brief_matrix_np(qb: int = _BRIEF_Q, stride: int = _PATCH_WX) -> np.ndarray:
+    """The S matrix over a row-major [_PATCH_W, stride] patch layout:
+    row index of pixel (y, x) is y*stride + x; columns beyond _PATCH_W
+    stay zero rows."""
     P, W = _PATCH_R, _PATCH_W
     g = _GAUSS7.astype(np.float64)
     pat = _PATTERN.astype(np.float64)  # [256, 4] = (x1, y1, x2, y2)
-    S = np.zeros((W * W, qb * 256 + 2), np.float64)
+    S = np.zeros((W * stride, qb * 256 + 2), np.float64)
 
     th = 2.0 * np.pi * np.arange(qb) / qb
     ca, sa = np.cos(th)[:, None], np.sin(th)[:, None]  # [Q,1]
@@ -542,7 +549,7 @@ def _brief_matrix_np(qb: int = _BRIEF_Q) -> np.ndarray:
     yy = (P + ry[..., None, None] + dyx[None, None, None, :, None])  # [Q,256,2,7,1]
     xx = (P + rx[..., None, None] + dyx[None, None, None, None, :])  # [Q,256,2,1,7]
     full = (qb, 256, 2, 7, 7)
-    rows = np.broadcast_to(yy * W + xx, full).ravel()
+    rows = np.broadcast_to(yy * stride + xx, full).ravel()
     cols = np.broadcast_to(
         (np.arange(qb)[:, None] * 256 + np.arange(256)[None, :])[..., None, None, None],
         full,
@@ -557,7 +564,7 @@ def _brief_matrix_np(qb: int = _BRIEF_Q) -> np.ndarray:
     dy, dx = np.mgrid[-_R:_R + 1, -_R:_R + 1]
     disk = (dx * dx + dy * dy) <= _R * _R
     ys, xs = np.nonzero(disk)
-    rr = (ys - _R + P) * W + (xs - _R + P)
+    rr = (ys - _R + P) * stride + (xs - _R + P)
     S[rr, -2] = dx[disk]
     S[rr, -1] = dy[disk]
     return S.astype(np.float32)
@@ -582,6 +589,82 @@ def _brief_matrix(qb: int = _BRIEF_Q) -> jax.Array:
                 _brief_matrix_np(qb).astype(ml_dtypes.bfloat16)
             )
     return _BRIEF_S_DEV[qb]
+
+
+# ---------------------------------------------------------------------------
+# Pallas patch gather: XLA lowers the vmapped dynamic_slice to a gather
+# that costs ~2.5ms/frame for 1000 patches (latency-bound, one at a time).
+# This kernel keeps 8 block DMAs in flight, copying each [43, 48] patch
+# straight HBM->HBM; keypoint coordinates arrive via scalar prefetch.
+# ---------------------------------------------------------------------------
+
+_GATHER_CHUNK = 128
+_GATHER_DEPTH = 8
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def gather_patches_pallas(padded, lyx, interpret: bool = False):
+    """padded [L, Hp, Wp] f32; lyx [N, 3] int32 rows (level, y0, x0) with
+    y0 + _PATCH_W <= Hp and x0 + _PATCH_WX <= Wp.
+    Returns [N, _PATCH_W, _PATCH_WX] f32 patches."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = lyx.shape[0]
+    ch, depth = _GATHER_CHUNK, _GATHER_DEPTH
+    n_pad = -(-n // ch) * ch
+    if n_pad != n:
+        lyx = jnp.concatenate(
+            [lyx, jnp.zeros((n_pad - n, 3), lyx.dtype)]
+        )
+    n_chunks = n_pad // ch
+
+    def kernel(lyx_ref, src_ref, out_ref, sems):
+        i = pl.program_id(0)
+
+        def get_dma(k):
+            idx = i * ch + k
+            return pltpu.make_async_copy(
+                src_ref.at[
+                    lyx_ref[idx, 0],
+                    pl.ds(lyx_ref[idx, 1], _PATCH_W),
+                    pl.ds(lyx_ref[idx, 2], _PATCH_WX),
+                ],
+                out_ref.at[idx],
+                sems.at[k % depth],
+            )
+
+        for k in range(depth):
+            get_dma(k).start()
+
+        def body(k, carry):
+            get_dma(k).wait()
+
+            @pl.when(k + depth < ch)
+            def _():
+                get_dma(k + depth).start()
+
+            return carry
+
+        jax.lax.fori_loop(0, ch, body, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_chunks,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[pltpu.SemaphoreType.DMA((depth,))],
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(
+            (n_pad, _PATCH_W, _PATCH_WX), jnp.float32
+        ),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(lyx, padded)
+    return out[:n]
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "shape"))
@@ -637,25 +720,34 @@ def _extract_impl(image: jax.Array, cfg: ORBConfig, shape):
     xy_all = jnp.concatenate(xy_lvl)                       # [N, 2] level coords
     n_slots = xy_all.shape[0]
 
-    # one 37x37 raw patch per keypoint from the zero-padded level stack
+    # one [43, 48] raw patch per keypoint from the zero-padded level stack
     # (selection enforces EDGE_THRESHOLD=19 > 18, so patches never cross a
-    # level boundary into the padding)
+    # level boundary into the padding; the 5 extra x columns carry real
+    # pixels that multiply zero rows of S)
     pd = _PATCH_PAD
-    padded = jnp.zeros((n_lvls, h + 2 * pd, w + 2 * pd), jnp.float32)
+    wp2 = w + 2 * pd + (_PATCH_WX - _PATCH_W)
+    padded = jnp.zeros((n_lvls, h + 2 * pd, wp2), jnp.float32)
     for l in range(n_lvls):
         padded = padded.at[
             l, pd : pd + sizes[l][0], pd : pd + sizes[l][1]
         ].set(pyramid[l])
     ys0 = jnp.clip(xy_all[:, 1] - _PATCH_R + pd, 0, h + 2 * pd - _PATCH_W)
-    xs0 = jnp.clip(xy_all[:, 0] - _PATCH_R + pd, 0, w + 2 * pd - _PATCH_W)
+    xs0 = jnp.clip(xy_all[:, 0] - _PATCH_R + pd, 0, wp2 - _PATCH_WX)
 
-    def _one_patch(l, y, x):
-        return jax.lax.dynamic_slice(padded, (l, y, x), (1, _PATCH_W, _PATCH_W))[0]
+    if jax.default_backend() == "tpu":
+        # pipelined-DMA gather (see gather_patches_pallas)
+        lyx = jnp.stack([oct_dev, ys0, xs0], axis=1).astype(jnp.int32)
+        patches = gather_patches_pallas(padded, lyx)       # [N, 43, 48]
+    else:
+        def _one_patch(l, y, x):
+            return jax.lax.dynamic_slice(
+                padded, (l, y, x), (1, _PATCH_W, _PATCH_WX)
+            )[0]
 
-    patches = jax.vmap(_one_patch)(oct_dev, ys0, xs0)      # [N, 37, 37]
+        patches = jax.vmap(_one_patch)(oct_dev, ys0, xs0)  # [N, 43, 48]
     S = _brief_matrix()
     out = jnp.dot(
-        patches.reshape(n_slots, _PATCH_W * _PATCH_W).astype(jnp.bfloat16),
+        patches.reshape(n_slots, _PATCH_W * _PATCH_WX).astype(jnp.bfloat16),
         S,
         preferred_element_type=jnp.float32,
     )                                                      # [N, Q*256 + 2]

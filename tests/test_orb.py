@@ -186,3 +186,37 @@ class TestFastNmsPallas:
                 np.asarray(got), np.asarray(ref), rtol=0, atol=1e-5,
                 err_msg=f"shape {(h, w)}",
             )
+
+
+class TestGatherPatchesPallas:
+    def test_matches_dynamic_slice(self):
+        """The pipelined-DMA patch gather must produce exactly the blocks
+        the XLA dynamic_slice path produces."""
+        import jax
+        import jax.numpy as jnp
+
+        from orb_slam2_comment_tpu.ops import orb
+
+        r = np.random.default_rng(1)
+        L, Hp, Wp = 4, 120, 256
+        padded = jnp.asarray(r.normal(size=(L, Hp, Wp)).astype(np.float32))
+        n = 37  # deliberately not a multiple of the chunk size
+        lyx = np.stack(
+            [
+                r.integers(0, L, n),
+                r.integers(0, Hp - orb._PATCH_W, n),
+                r.integers(0, Wp - orb._PATCH_WX, n),
+            ],
+            axis=1,
+        ).astype(np.int32)
+        got = orb.gather_patches_pallas(
+            padded, jnp.asarray(lyx), interpret=True
+        )
+        def one(l, y, x):
+            return jax.lax.dynamic_slice(
+                padded, (l, y, x), (1, orb._PATCH_W, orb._PATCH_WX)
+            )[0]
+        ref = jax.vmap(one)(
+            jnp.asarray(lyx[:, 0]), jnp.asarray(lyx[:, 1]), jnp.asarray(lyx[:, 2])
+        )
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
