@@ -1,0 +1,86 @@
+"""CLI driver smoke test: a synthetic mini TUM RGB-D dataset on disk,
+driven through the exact reference argv path (rgbd_tum.py -> run_dataset),
+checking tracking state and trajectory output format (§2d parity:
+Examples/RGB-D/rgbd_tum.cc shape — load list, System ctor, per-frame
+Track with timing, save trajectory)."""
+
+import os
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+pytest.importorskip("PIL")
+
+from orb_slam2_comment_tpu.utils import synthetic as syn
+
+K = syn.DEFAULT_K
+
+
+def _write_png(path, arr):
+    from PIL import Image
+
+    Image.fromarray(arr).save(path)
+
+
+@pytest.fixture(scope="module")
+def tum_dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("tum_seq")
+    (root / "rgb").mkdir()
+    (root / "depth").mkdir()
+    scene = syn.make_scene(n_points=1400, seed=0)
+    poses = syn.make_trajectory("jitter", n_frames=8, step=0.05)
+    lines = []
+    for i, f in enumerate(
+        syn.render_sequence(scene, poses, K=K, depth=True)
+    ):
+        ts = f["timestamp"]
+        rgb = np.clip(f["image"], 0, 255).astype(np.uint8)
+        # TUM depth pngs are uint16 at 5000 units/m
+        d16 = np.clip(f["depth"] * 5000.0, 0, 65535).astype(np.uint16)
+        _write_png(root / "rgb" / f"{i}.png", rgb)
+        _write_png(root / "depth" / f"{i}.png", d16)
+        lines.append(f"{ts:.6f} rgb/{i}.png {ts:.6f} depth/{i}.png")
+    (root / "associations.txt").write_text("\n".join(lines) + "\n")
+    fx, fy, cx, cy = K
+    (root / "settings.yaml").write_text(
+        "%YAML:1.0\n"
+        f"Camera.fx: {fx}\nCamera.fy: {fy}\nCamera.cx: {cx}\nCamera.cy: {cy}\n"
+        "Camera.k1: 0.0\nCamera.k2: 0.0\nCamera.p1: 0.0\nCamera.p2: 0.0\n"
+        f"Camera.bf: {fx * syn.DEFAULT_BASELINE}\n"
+        "Camera.fps: 30.0\nCamera.RGB: 1\n"
+        "Camera.width: 640\nCamera.height: 480\n"
+        "ThDepth: 40.0\nDepthMapFactor: 5000.0\n"
+        "ORBextractor.nFeatures: 600\nORBextractor.scaleFactor: 1.2\n"
+        "ORBextractor.nLevels: 4\nORBextractor.iniThFAST: 20\n"
+        "ORBextractor.minThFAST: 7\n"
+    )
+    return root
+
+
+def test_rgbd_tum_driver(tum_dataset, tmp_path, monkeypatch):
+    """Drive run_dataset exactly as rgbd_tum.py does and check the TUM
+    trajectory file comes out (8 lines, 'ts tx ty tz qx qy qz qw')."""
+    monkeypatch.chdir(tmp_path)
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from examples.run_dataset import run
+
+    run(
+        "rgbd", "tum_rgbd", str(tum_dataset),
+        settings=str(tum_dataset / "settings.yaml"),
+        vocabulary=None,
+        associations=str(tum_dataset / "associations.txt"),
+        out_prefix="CameraTrajectory",
+    )
+    out = tmp_path / "CameraTrajectory_tum.txt"
+    assert out.exists(), "driver did not write the trajectory"
+    rows = [l.split() for l in out.read_text().strip().splitlines()]
+    assert len(rows) == 8, f"expected 8 trajectory rows, got {len(rows)}"
+    for r in rows:
+        assert len(r) == 8  # ts tx ty tz qx qy qz qw (TUM format)
+        q = np.asarray([float(x) for x in r[4:]])
+        assert abs(np.linalg.norm(q) - 1.0) < 1e-3
+    # the jitter trajectory stays near the origin; translations should too
+    t = np.asarray([[float(x) for x in r[1:4]] for r in rows])
+    assert np.abs(t).max() < 1.0
