@@ -242,11 +242,19 @@ class System:
     def save_map(self, path):
         self.tracker._flush_all()
         m = self.tracker.map
+        extra = {}
+        if self.loop_closer is not None and self.loop_closer.loop_edges:
+            le = self.loop_closer.loop_edges
+            extra["loop_edge_ids"] = np.asarray(
+                [(a, b) for a, b, _ in le], np.int32
+            )
+            extra["loop_edge_S"] = np.stack([S for _, _, S in le])
         np.savez_compressed(
             path,
             **{f: np.asarray(getattr(m, f)) for f in m._fields},
             n_kfs=self.tracker.n_kfs,
             n_pts=self.tracker.n_pts,
+            **extra,
         )
 
     def load_map(self, path):
@@ -255,6 +263,11 @@ class System:
         self.tracker.map = m
         self.tracker.n_kfs = int(z["n_kfs"])
         self.tracker.n_pts = int(z["n_pts"])
+        if self.loop_closer is not None and "loop_edge_ids" in z:
+            self.loop_closer.loop_edges = [
+                (int(a), int(b), S)
+                for (a, b), S in zip(z["loop_edge_ids"], z["loop_edge_S"])
+            ]
         # re-index the database
         if self.db is not None:
             for k in range(self.tracker.n_kfs):
