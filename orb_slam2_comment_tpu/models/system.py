@@ -64,6 +64,8 @@ class System:
 
         self.frame_id = 0
         self.n_loops = 0
+        self.n_resets = 0
+        self._last_seen_big_change = 0
 
     # -- vocabulary / database wiring --------------------------------------
     def _init_db(self):
@@ -163,6 +165,7 @@ class System:
         src/Tracking.cc:1504-1550): clears the map, the database, and the
         tracking state."""
         cfg = self.cfg
+        self.n_resets += 1
         self.tracker._flush_all()
         self.tracker._io_pool.shutdown(wait=False)  # stop the old pull pool
         self.tracker = Tracker(cfg)
@@ -193,8 +196,32 @@ class System:
             return np.empty(0, np.int64)
         return a[a >= 0]
 
+    def get_tracked_keypoints(self):
+        """Undistorted keypoints of the last frame that carry a map-point
+        association (System::GetTrackedKeyPointsUn, src/System.cc:484-491)."""
+        t = self.tracker
+        t._flush_all()
+        if t.last_frame is None:
+            return np.empty((0, 2), np.float32)
+        a = np.asarray(t.last_frame.assoc)
+        xy = np.asarray(t.last_frame.feats.xy)
+        return xy[a >= 0]
+
     def map_changed(self):
-        return self.n_loops > 0
+        """Latched big-change poll (System::MapChanged, src/System.cc:282-293
+        + Map::InformNewBigChange): True once per loop correction / global
+        BA / reset since the previous call."""
+        idx = self._big_change_idx()
+        if idx > self._last_seen_big_change:
+            self._last_seen_big_change = idx
+            return True
+        return False
+
+    def _big_change_idx(self):
+        n = self.n_resets
+        if self.loop_closer is not None:
+            n += self.loop_closer.n_loops_closed
+        return n
 
     # -- trajectory savers (System.cc:322-472) -------------------------------
     def _frame_poses(self):
