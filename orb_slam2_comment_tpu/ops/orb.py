@@ -600,6 +600,7 @@ def _brief_matrix(qb: int = _BRIEF_Q) -> jax.Array:
 
 _GATHER_CHUNK = 128
 _GATHER_DEPTH = 8
+_USE_PALLAS_GATHER = False
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -651,8 +652,11 @@ def gather_patches_pallas(padded, lyx, interpret: bool = False):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_chunks,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        # keep both sides in HBM: ANY lets the compiler pull the 12MB
+        # pyramid stack into VMEM, where dynamically-offset memref slices
+        # (the DMA sources) fail to lower on real hardware
+        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         scratch_shapes=[pltpu.SemaphoreType.DMA((depth,))],
     )
     out = pl.pallas_call(
@@ -734,8 +738,11 @@ def _extract_impl(image: jax.Array, cfg: ORBConfig, shape):
     ys0 = jnp.clip(xy_all[:, 1] - _PATCH_R + pd, 0, h + 2 * pd - _PATCH_W)
     xs0 = jnp.clip(xy_all[:, 0] - _PATCH_R + pd, 0, wp2 - _PATCH_WX)
 
-    if jax.default_backend() == "tpu":
-        # pipelined-DMA gather (see gather_patches_pallas)
+    if _USE_PALLAS_GATHER and jax.default_backend() == "tpu":
+        # pipelined-DMA gather (see gather_patches_pallas). Disabled by
+        # default: Mosaic requires DMA slice shapes aligned to the (8,128)
+        # tile, which a [43,48] block violates — kept for the aligned
+        # redesign, validated in interpret mode by tests.
         lyx = jnp.stack([oct_dev, ys0, xs0], axis=1).astype(jnp.int32)
         patches = gather_patches_pallas(padded, lyx)       # [N, 43, 48]
     else:
