@@ -39,7 +39,7 @@ orig_dispatch = trk._dispatch_rgbd_upload
 
 def patched_dispatch(fid, ts, img, depth_map):
     t0 = time.perf_counter()
-    if len(trk._stageA) >= 3:
+    if len(trk._stageA) >= trk.STAGE_A_LAG:
         fid0, ts0, feats0, dm0, fut0 = trk._stageA.popleft()
         xy = fut0.result(); t1 = time.perf_counter()
         samples = trk._sample_depth_host(dm0, xy); t2 = time.perf_counter()

@@ -30,7 +30,9 @@ def main():
 
     K = syn.DEFAULT_K
     n_frames = int(sys.argv[1]) if len(sys.argv) > 1 else 60
+    lag = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     cfg = SlamConfig(
+        pipeline_lag=lag,
         sensor="rgbd",
         fx=K[0], fy=K[1], cx=K[2], cy=K[3],
         bf=K[0] * syn.DEFAULT_BASELINE,

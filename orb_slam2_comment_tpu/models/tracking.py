@@ -971,7 +971,15 @@ class Tracker:
     # device->host round trip is ~25ms; at ~15ms/frame a lag of 8 gives
     # results ~2 frames of slack past the RTT, so forced (blocking) syncs
     # never fire in steady state.
-    MAX_LAG = 8
+    MAX_LAG = 12
+
+    @property
+    def STAGE_A_LAG(self):
+        """Stage-A pipeline depth (cfg.pipeline_lag): how many frames the
+        keypoint-xy pull has to cross the link before the host needs it
+        for depth sampling (measured: lag 3 on a ~28ms-RTT tunnel left
+        ~9.5ms/frame of blocking pull wait)."""
+        return self.cfg.pipeline_lag
 
     def __init__(self, cfg: SlamConfig):
         self.cfg = cfg
@@ -1192,12 +1200,12 @@ class Tracker:
     def _dispatch_rgbd_upload(self, fid, ts, img, depth_map):
         """Dispatch one RGB-D frame whose image upload was enqueued a call
         earlier: frame fid's extraction fused with the tracking stage of
-        the stage-A head (fid-3). Three frames of stage-A lag cover device
-        queue time + the ~25ms tunnel RTT of the keypoint pull (issued at
-        its dispatch), so the host never blocks; B stages still run
+        the stage-A head (fid-STAGE_A_LAG), whose keypoint pull (issued at
+        its dispatch) has had STAGE_A_LAG frame-times to cross the tunnel,
+        so the host rarely blocks; B stages still run
         strictly in frame order, so tracking semantics are identical to
         the reference's one-frame chain."""
-        if len(self._stageA) >= 3:
+        if len(self._stageA) >= self.STAGE_A_LAG:
             fid0, ts0, feats0, dm0, fut0 = self._stageA.popleft()
             samples = self._sample_depth_host(dm0, fut0.result())
             meta0 = jnp.asarray(

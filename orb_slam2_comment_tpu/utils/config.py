@@ -58,6 +58,12 @@ class SlamConfig:
     # reference's staged fallback ladder with host branch decisions
     # (several syncs per frame, slightly more robust margins).
     fused_tracking: bool = True
+    # Stage-A depth of the fused RGB-D pipeline: frame i's tracking stage
+    # dispatches when frame i+pipeline_lag arrives, giving the keypoint-xy
+    # device->host pull pipeline_lag frame-times to cross the link before
+    # the host samples the depth map with it. Raise on high-RTT links
+    # (remote-attached TPUs), lower for minimum result latency.
+    pipeline_lag: int = 4
     # Hamming acceptance scaling: 1.0 reproduces the reference thresholds
     # (TH_LOW=50/TH_HIGH=100, ORBmatcher.cc:37-38), tuned for real-image
     # ORB stability. Synthetic scenes with noisier descriptors run at
