@@ -516,10 +516,11 @@ def _rotated_test_indices(xy, angle, wl, hl, base):
 
 _PATCH_R = 21          # pattern radius <=17.7 rotated -> +/-18, +3 blur taps
 _PATCH_W = 2 * _PATCH_R + 1
-# x-extent of the stored patch: 5 extra columns so each patch is a
-# DMA-friendly [43, 48] block (the BRIEF matrix rows at the pad columns
-# are zero, so the extra pixels never contribute)
+# stored patch extent: [48, 48] — 5 extra rows/columns of real pixels so
+# the patch is a DMA/tile-friendly block (the BRIEF matrix rows at the pad
+# positions are zero, so the extra pixels never contribute)
 _PATCH_WX = _PATCH_W + 5
+_PATCH_HP = _PATCH_W + 5
 # keypoints keep EDGE_THRESHOLD=19 from level borders; the patch reaches
 # 21px, so the padded level stack carries this much extra zero margin
 _PATCH_PAD = _PATCH_R - C.EDGE_THRESHOLD + 1  # = 3 (1 slack for rounding)
@@ -528,13 +529,13 @@ _BRIEF_Q = 64
 
 @functools.lru_cache(maxsize=None)
 def _brief_matrix_np(qb: int = _BRIEF_Q, stride: int = _PATCH_WX) -> np.ndarray:
-    """The S matrix over a row-major [_PATCH_W, stride] patch layout:
-    row index of pixel (y, x) is y*stride + x; columns beyond _PATCH_W
-    stay zero rows."""
+    """The S matrix over a row-major [_PATCH_HP, stride] patch layout:
+    row index of pixel (y, x) is y*stride + x; rows/columns beyond
+    _PATCH_W stay zero."""
     P, W = _PATCH_R, _PATCH_W
     g = _GAUSS7.astype(np.float64)
     pat = _PATTERN.astype(np.float64)  # [256, 4] = (x1, y1, x2, y2)
-    S = np.zeros((W * stride, qb * 256 + 2), np.float64)
+    S = np.zeros((_PATCH_HP * stride, qb * 256 + 2), np.float64)
 
     th = 2.0 * np.pi * np.arange(qb) / qb
     ca, sa = np.cos(th)[:, None], np.sin(th)[:, None]  # [Q,1]
@@ -594,20 +595,29 @@ def _brief_matrix(qb: int = _BRIEF_Q) -> jax.Array:
 # ---------------------------------------------------------------------------
 # Pallas patch gather: XLA lowers the vmapped dynamic_slice to a gather
 # that costs ~2.5ms/frame for 1000 patches (latency-bound, one at a time).
-# This kernel keeps 8 block DMAs in flight, copying each [43, 48] patch
-# straight HBM->HBM; keypoint coordinates arrive via scalar prefetch.
+# Mosaic DMA slices must be tile-aligned — (8, 128) for f32 — so the
+# kernel copies the aligned [56, 256] superblock containing each patch
+# (start rounded DOWN to the tile grid), keeps 8 DMAs in flight, and
+# realigns in VMEM: the row residual dy in [0,8) by an 8-way static-slice
+# select, the lane residual dx in [0,128) by 7 conditional power-of-two
+# lane rolls (a vectorized barrel shifter across the chunk).
+# Output is [N, 48, 256] with the patch at the origin; the caller slices
+# the first 48 columns (cheap in XLA).
 # ---------------------------------------------------------------------------
 
-_GATHER_CHUNK = 128
+_GATHER_CHUNK = 64
 _GATHER_DEPTH = 8
-_USE_PALLAS_GATHER = False
+_GATHER_BH = 56    # 48 patch rows + up to 7 residual = 55 -> 56 (x8)
+_GATHER_BW = 256   # 48 patch cols + up to 127 residual = 175 -> 256
+_USE_PALLAS_GATHER = True
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def gather_patches_pallas(padded, lyx, interpret: bool = False):
-    """padded [L, Hp, Wp] f32; lyx [N, 3] int32 rows (level, y0, x0) with
-    y0 + _PATCH_W <= Hp and x0 + _PATCH_WX <= Wp.
-    Returns [N, _PATCH_W, _PATCH_WX] f32 patches."""
+    """padded [L, Hp, Wp] f32 (Hp multiple of 8 and >= y0a+56, Wp multiple
+    of 128 and >= x0a+256 for every keypoint); lyx [N, 3] int32 rows
+    (level, y0, x0). Returns [N, _PATCH_HP, _GATHER_BW] f32 with the
+    patch at [:, :48, :48]."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -615,23 +625,35 @@ def gather_patches_pallas(padded, lyx, interpret: bool = False):
     ch, depth = _GATHER_CHUNK, _GATHER_DEPTH
     n_pad = -(-n // ch) * ch
     if n_pad != n:
-        lyx = jnp.concatenate(
-            [lyx, jnp.zeros((n_pad - n, 3), lyx.dtype)]
-        )
+        lyx = jnp.concatenate([lyx, jnp.zeros((n_pad - n, 3), lyx.dtype)])
     n_chunks = n_pad // ch
 
-    def kernel(lyx_ref, src_ref, out_ref, sems):
+    lvl = lyx[:, 0]
+    y0a = (lyx[:, 1] // 8) * 8
+    x0a = (lyx[:, 2] // 128) * 128
+    aligned = jnp.stack([lvl, y0a, x0a], axis=1)
+    # residuals ride a VMEM input: the vectorized realign selects need
+    # them as vectors, which scalar-prefetch SMEM reads cannot broadcast
+    res = jnp.stack(
+        [lyx[:, 1] - y0a, lyx[:, 2] - x0a], axis=1
+    ).astype(jnp.int32)
+
+    def kernel(al_ref, res_ref, src_ref, out_ref, scratch, sems):
         i = pl.program_id(0)
 
         def get_dma(k):
             idx = i * ch + k
+            # the caller floors these starts to the tile grid; the hint is
+            # what lets Mosaic accept a dynamic tile-aligned DMA offset
+            y0 = pl.multiple_of(al_ref[idx, 1], 8)
+            x0 = pl.multiple_of(al_ref[idx, 2], 128)
             return pltpu.make_async_copy(
                 src_ref.at[
-                    lyx_ref[idx, 0],
-                    pl.ds(lyx_ref[idx, 1], _PATCH_W),
-                    pl.ds(lyx_ref[idx, 2], _PATCH_WX),
+                    al_ref[idx, 0],
+                    pl.ds(y0, _GATHER_BH),
+                    pl.ds(x0, _GATHER_BW),
                 ],
-                out_ref.at[idx],
+                scratch.at[k],
                 sems.at[k % depth],
             )
 
@@ -649,25 +671,48 @@ def gather_patches_pallas(padded, lyx, interpret: bool = False):
 
         jax.lax.fori_loop(0, ch, body, 0)
 
+        blocks = scratch[:]                       # [ch, 56, 256]
+        dy = res_ref[:, 0][:, None, None]         # [ch, 1, 1]
+        dx = res_ref[:, 1]
+        cur = blocks[:, 0:_PATCH_HP, :]
+        for d in range(1, 8):
+            cur = jnp.where(dy == d, blocks[:, d:d + _PATCH_HP, :], cur)
+        for bit in range(7):
+            amt = 1 << bit
+            rolled = pltpu.roll(cur, shift=(-amt) % _GATHER_BW, axis=2)
+            take = (((dx >> bit) & 1) == 1)[:, None, None]
+            cur = jnp.where(take, rolled, cur)
+        out_ref[:] = cur
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_chunks,),
-        # keep both sides in HBM: ANY lets the compiler pull the 12MB
-        # pyramid stack into VMEM, where dynamically-offset memref slices
-        # (the DMA sources) fail to lower on real hardware
-        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
-        scratch_shapes=[pltpu.SemaphoreType.DMA((depth,))],
+        in_specs=[
+            pl.BlockSpec(
+                (ch, 2), lambda i, *_: (i, 0),
+                memory_space=pltpu.MemorySpace.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+        ],
+        out_specs=pl.BlockSpec(
+            (ch, _PATCH_HP, _GATHER_BW),
+            lambda i, *_: (i, 0, 0),
+            memory_space=pltpu.MemorySpace.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((ch, _GATHER_BH, _GATHER_BW), jnp.float32),
+            pltpu.SemaphoreType.DMA((depth,)),
+        ],
     )
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(
-            (n_pad, _PATCH_W, _PATCH_WX), jnp.float32
+            (n_pad, _PATCH_HP, _GATHER_BW), jnp.float32
         ),
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(lyx, padded)
+    )(aligned, res, padded)
     return out[:n]
 
 
@@ -724,37 +769,40 @@ def _extract_impl(image: jax.Array, cfg: ORBConfig, shape):
     xy_all = jnp.concatenate(xy_lvl)                       # [N, 2] level coords
     n_slots = xy_all.shape[0]
 
-    # one [43, 48] raw patch per keypoint from the zero-padded level stack
+    # one [48, 48] raw patch per keypoint from the zero-padded level stack
     # (selection enforces EDGE_THRESHOLD=19 > 18, so patches never cross a
-    # level boundary into the padding; the 5 extra x columns carry real
-    # pixels that multiply zero rows of S)
+    # level boundary into the padding; the 5 extra rows/columns carry real
+    # pixels that multiply zero rows of S). The stack is over-padded so the
+    # Pallas gather's tile-ALIGNED [56, 256] superblock reads stay in
+    # bounds for every keypoint: height to a multiple of 8 with 8 rows of
+    # headroom, width to a multiple of 128 with x0_aligned + 256 in range.
     pd = _PATCH_PAD
-    wp2 = w + 2 * pd + (_PATCH_WX - _PATCH_W)
-    padded = jnp.zeros((n_lvls, h + 2 * pd, wp2), jnp.float32)
+    hi_y = h + 2 * pd - _PATCH_HP + (_PATCH_HP - _PATCH_W)  # legit top-left max
+    hi_x = w + 2 * pd + (_PATCH_WX - _PATCH_W) - _PATCH_WX
+    hp2 = -(-(h + 2 * pd + 16) // 8) * 8  # y0_aligned + 56 stays in range
+    wp2 = -(-(hi_x + 128 + _GATHER_BW) // 128) * 128
+    padded = jnp.zeros((n_lvls, hp2, wp2), jnp.float32)
     for l in range(n_lvls):
         padded = padded.at[
             l, pd : pd + sizes[l][0], pd : pd + sizes[l][1]
         ].set(pyramid[l])
-    ys0 = jnp.clip(xy_all[:, 1] - _PATCH_R + pd, 0, h + 2 * pd - _PATCH_W)
-    xs0 = jnp.clip(xy_all[:, 0] - _PATCH_R + pd, 0, wp2 - _PATCH_WX)
+    ys0 = jnp.clip(xy_all[:, 1] - _PATCH_R + pd, 0, hi_y)
+    xs0 = jnp.clip(xy_all[:, 0] - _PATCH_R + pd, 0, hi_x)
 
     if _USE_PALLAS_GATHER and jax.default_backend() == "tpu":
-        # pipelined-DMA gather (see gather_patches_pallas). Disabled by
-        # default: Mosaic requires DMA slice shapes aligned to the (8,128)
-        # tile, which a [43,48] block violates — kept for the aligned
-        # redesign, validated in interpret mode by tests.
         lyx = jnp.stack([oct_dev, ys0, xs0], axis=1).astype(jnp.int32)
-        patches = gather_patches_pallas(padded, lyx)       # [N, 43, 48]
+        blocks = gather_patches_pallas(padded, lyx)        # [N, 48, 256]
+        patches = blocks[:, :, :_PATCH_WX]                 # [N, 48, 48]
     else:
         def _one_patch(l, y, x):
             return jax.lax.dynamic_slice(
-                padded, (l, y, x), (1, _PATCH_W, _PATCH_WX)
+                padded, (l, y, x), (1, _PATCH_HP, _PATCH_WX)
             )[0]
 
-        patches = jax.vmap(_one_patch)(oct_dev, ys0, xs0)  # [N, 43, 48]
+        patches = jax.vmap(_one_patch)(oct_dev, ys0, xs0)  # [N, 48, 48]
     S = _brief_matrix()
     out = jnp.dot(
-        patches.reshape(n_slots, _PATCH_W * _PATCH_WX).astype(jnp.bfloat16),
+        patches.reshape(n_slots, _PATCH_HP * _PATCH_WX).astype(jnp.bfloat16),
         S,
         preferred_element_type=jnp.float32,
     )                                                      # [N, Q*256 + 2]

@@ -198,14 +198,16 @@ class TestGatherPatchesPallas:
         from orb_slam2_comment_tpu.ops import orb
 
         r = np.random.default_rng(1)
-        L, Hp, Wp = 4, 120, 256
+        L, Hp, Wp = 4, 160, 640
         padded = jnp.asarray(r.normal(size=(L, Hp, Wp)).astype(np.float32))
         n = 37  # deliberately not a multiple of the chunk size
+        # keep y0_aligned+56 and x0_aligned+256 in bounds, as the caller's
+        # over-padded pyramid stack guarantees
         lyx = np.stack(
             [
                 r.integers(0, L, n),
-                r.integers(0, Hp - orb._PATCH_W, n),
-                r.integers(0, Wp - orb._PATCH_WX, n),
+                r.integers(0, Hp - orb._GATHER_BH, n),
+                r.integers(0, Wp - orb._GATHER_BW, n),
             ],
             axis=1,
         ).astype(np.int32)
@@ -214,9 +216,14 @@ class TestGatherPatchesPallas:
         )
         def one(l, y, x):
             return jax.lax.dynamic_slice(
-                padded, (l, y, x), (1, orb._PATCH_W, orb._PATCH_WX)
+                padded, (l, y, x), (1, orb._PATCH_HP, orb._GATHER_BW)
             )[0]
         ref = jax.vmap(one)(
             jnp.asarray(lyx[:, 0]), jnp.asarray(lyx[:, 1]), jnp.asarray(lyx[:, 2])
         )
-        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+        # the patch content (first 48x48) must match exactly; beyond 175
+        # columns the barrel shifter may wrap, which callers never read
+        np.testing.assert_array_equal(
+            np.asarray(got)[:, :, :orb._PATCH_WX],
+            np.asarray(ref)[:, :, :orb._PATCH_WX],
+        )
