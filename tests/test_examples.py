@@ -84,3 +84,64 @@ def test_rgbd_tum_driver(tum_dataset, tmp_path, monkeypatch):
     # the jitter trajectory stays near the origin; translations should too
     t = np.asarray([[float(x) for x in r[1:4]] for r in rows])
     assert np.abs(t).max() < 1.0
+
+
+@pytest.fixture(scope="module")
+def kitti_dataset(tmp_path_factory):
+    """Synthetic KITTI-odometry-format stereo sequence on disk."""
+    root = tmp_path_factory.mktemp("kitti_seq")
+    (root / "image_0").mkdir()
+    (root / "image_1").mkdir()
+    scene = syn.make_scene(n_points=1400, seed=0)
+    poses = syn.make_trajectory("jitter", n_frames=6, step=0.05)
+    times = []
+    for i, f in enumerate(
+        syn.render_sequence(scene, poses, K=K, stereo=True)
+    ):
+        _write_png(
+            root / "image_0" / f"{i:06d}.png",
+            np.clip(f["image"], 0, 255).astype(np.uint8),
+        )
+        _write_png(
+            root / "image_1" / f"{i:06d}.png",
+            np.clip(f["image_right"], 0, 255).astype(np.uint8),
+        )
+        times.append(f"{f['timestamp']:.6e}")
+    (root / "times.txt").write_text("\n".join(times) + "\n")
+    fx, fy, cx, cy = K
+    (root / "settings.yaml").write_text(
+        "%YAML:1.0\n"
+        f"Camera.fx: {fx}\nCamera.fy: {fy}\nCamera.cx: {cx}\nCamera.cy: {cy}\n"
+        "Camera.k1: 0.0\nCamera.k2: 0.0\nCamera.p1: 0.0\nCamera.p2: 0.0\n"
+        f"Camera.bf: {fx * syn.DEFAULT_BASELINE}\n"
+        "Camera.fps: 10.0\nCamera.RGB: 1\nThDepth: 35.0\n"
+        "ORBextractor.nFeatures: 600\nORBextractor.scaleFactor: 1.2\n"
+        "ORBextractor.nLevels: 4\nORBextractor.iniThFAST: 20\n"
+        "ORBextractor.minThFAST: 7\n"
+    )
+    return root
+
+
+def test_stereo_kitti_driver(kitti_dataset, tmp_path, monkeypatch):
+    """stereo_kitti argv path: pre-rectified L/R pairs, KITTI-format
+    trajectory out (12 numbers per row, Examples/Stereo/stereo_kitti.cc)."""
+    monkeypatch.chdir(tmp_path)
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from examples.run_dataset import run
+
+    run(
+        "stereo", "kitti", str(kitti_dataset),
+        settings=str(kitti_dataset / "settings.yaml"),
+        vocabulary=None,
+        out_prefix="CameraTrajectory",
+    )
+    out = tmp_path / "CameraTrajectory_kitti.txt"
+    assert out.exists()
+    rows = [l.split() for l in out.read_text().strip().splitlines()]
+    assert len(rows) == 6
+    for r in rows:
+        assert len(r) == 12  # 3x4 row-major pose
+        M = np.asarray([float(x) for x in r]).reshape(3, 4)
+        # rotation block must be orthonormal
+        RtR = M[:, :3].T @ M[:, :3]
+        np.testing.assert_allclose(RtR, np.eye(3), atol=1e-4)

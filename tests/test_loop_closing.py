@@ -82,3 +82,37 @@ class TestMonocularPipeline:
         assert ate < 0.05, f"ATE {ate*100:.1f} cm"
         # triangulation grew the map beyond the two init keyframes
         assert system.tracker.n_pts > 150
+
+
+class TestPersistentLoopEdges:
+    def test_past_edges_join_later_graphs(self):
+        """Previously accepted loop edges stay in every later essential
+        graph (KeyFrame::AddLoopEdge consumed at src/Optimizer.cc:902-910)."""
+        import jax.numpy as jnp
+
+        from orb_slam2_comment_tpu.models import loop_closing as lc
+        from orb_slam2_comment_tpu.models import map_state as ms
+
+        cfg = SlamConfig(
+            sensor="rgbd", fx=K[0], fy=K[1], cx=K[2], cy=K[3], bf=K[0] * B,
+            n_features=64, n_levels=2, max_keyframes=16, max_points=512,
+        )
+        m = ms.empty_map(16, 512, 64)
+        m = m._replace(
+            kf_valid=jnp.arange(16) < 8,
+            kf_parent=jnp.asarray([-1, 0, 1, 2, 3, 4, 5, 6] + [-1] * 8,
+                                  jnp.int32),
+        )
+        S12 = np.eye(4, dtype=np.float32)
+        past = [(1, 6, S12)]
+        ei, ej, Sji, ok = lc._essential_edges(m, 8, 7, 0, jnp.asarray(S12),
+                                              past)
+        pairs = {
+            (int(a), int(b))
+            for a, b, v in zip(np.asarray(ei), np.asarray(ej), np.asarray(ok))
+            if v
+        }
+        assert (1, 6) in pairs, "past loop edge missing from the graph"
+        assert (0, 7) in pairs, "new loop edge missing"
+        for p in range(1, 8):  # spanning tree chain
+            assert (p - 1, p) in pairs
