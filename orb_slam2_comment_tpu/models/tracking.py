@@ -745,12 +745,18 @@ def _frame_step_core(m, ds: DeviceTrackState, feats, uright, depth, meta, cfg):
         stats[S_N_INL] < C.TRACK_LOCAL_MAP_MIN_INLIERS_RECENT_RELOC
     )
     tracked = tracked & ~reloc_gate
+    # no keyframes inside the reloc window once the map is mature
+    # (Tracking.cc:1000-1002: mnId < mnLastRelocFrameId + mMaxFrames
+    # && nKFs > mMaxFrames)
+    kf_reloc_block = (since_reloc < int(cfg.fps)) & (
+        ds.n_kfs > int(cfg.fps)
+    )
 
     best_local = stats[S_BEST_LOCAL].astype(jnp.int32)
     coarse_ok = stats[S_COARSE_OK] > 0
     ref1 = jnp.where(coarse_ok & (best_local >= 0), best_local, ds.ref_kf)
 
-    need_kf = (stats[S_NEED_KF] > 0) & tracked
+    need_kf = (stats[S_NEED_KF] > 0) & tracked & ~kf_reloc_block
     slot = ds.n_kfs
 
     def _do_create(m_):
@@ -1591,6 +1597,13 @@ class Tracker:
         if cfg.localization_only:
             return False
         if self.n_kfs >= cfg.max_keyframes - 1:
+            return False
+        # no keyframes inside the reloc window once the map is mature
+        # (Tracking.cc:1000-1002)
+        if (
+            frame.frame_id - self.last_reloc_frame_id < cfg.fps
+            and self.n_kfs > cfg.fps
+        ):
             return False
         frames_since_kf = frame.frame_id - self.last_kf_frame_id
         # reference map points tracked with >=minObs observations
