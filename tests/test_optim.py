@@ -213,3 +213,59 @@ class TestEssentialGraph:
                     np.asarray(jnp.asarray(S_gt[i]))
                 ))))
             assert np.linalg.norm(d) < 0.02, (i, d)
+
+
+class TestPoseOptimizePallas:
+    def test_matches_xla_path(self):
+        """The single-kernel Pallas LM (interpret mode) must agree with
+        optim.pose_optimize: same inlier set, pose within float tolerance
+        (closed-form vs jacfwd Jacobians)."""
+        import jax.numpy as jnp
+
+        from orb_slam2_comment_tpu.ops import geometry as geo
+        from orb_slam2_comment_tpu.ops import optim
+        from orb_slam2_comment_tpu.ops.lm_pallas import pose_optimize_pallas
+
+        K = (500.0, 500.0, 320.0, 240.0)
+        BF = 50.0
+        inv_s2 = jnp.asarray([1.0 / (1.2 ** (2 * l)) for l in range(8)])
+        r = np.random.default_rng(3)
+        N = 300
+        Xw = jnp.asarray(
+            r.uniform(-3, 3, (N, 3)).astype(np.float32) + [0, 0, 8]
+        )
+        T_gt = geo.se3_exp(
+            jnp.asarray([0.1, -0.05, 0.08, 0.02, -0.03, 0.01], jnp.float32)
+        )
+        Xc = geo.transform_points(T_gt, Xw)
+        uvr = np.array(geo.project_stereo(K, BF, Xc))
+        uvr += r.normal(0, 0.4, uvr.shape)
+        # 20% outliers
+        out_idx = r.choice(N, N // 5, replace=False)
+        uvr[out_idx, :2] += r.uniform(15, 40, (len(out_idx), 2))
+        obs = jnp.asarray(uvr.astype(np.float32))
+        octave = jnp.asarray(r.integers(0, 4, N).astype(np.int32))
+        stereo = jnp.asarray(r.random(N) < 0.7)
+        valid = jnp.ones(N, bool)
+        T0 = geo.se3_exp(
+            jnp.asarray([0.08, -0.04, 0.06, 0.015, -0.02, 0.006], jnp.float32)
+        )
+
+        ref = optim.pose_optimize(
+            T0, Xw, obs, octave, stereo, valid, inv_s2, K, BF
+        )
+        got = pose_optimize_pallas(
+            T0, Xw, obs, octave, stereo, valid, inv_s2, K, BF,
+            interpret=True,
+        )
+        d = np.asarray(geo.se3_log(got.Tcw @ geo.inv_T(ref.Tcw)))
+        assert np.linalg.norm(d) < 2e-3, d
+        # both must be close to ground truth
+        dg = np.asarray(geo.se3_log(got.Tcw @ geo.inv_T(T_gt)))
+        assert np.linalg.norm(dg) < 5e-3, dg
+        agree = np.mean(
+            np.asarray(got.inliers) == np.asarray(ref.inliers)
+        )
+        assert agree > 0.98, agree
+        # outliers must be rejected
+        assert not np.asarray(got.inliers)[out_idx].any()
