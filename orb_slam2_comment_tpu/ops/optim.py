@@ -100,6 +100,12 @@ class PoseOptResult(NamedTuple):
     n_inliers: jax.Array   # scalar int32
 
 
+# route pose_optimize through the single-kernel Pallas LM on TPU (see
+# ops/lm_pallas.py); the XLA path below remains the reference semantics
+# and the CPU/test path
+USE_PALLAS_LM = False
+
+
 @functools.partial(
     jax.jit, static_argnames=("K", "bf", "rounds", "iters")
 )
@@ -119,6 +125,13 @@ def pose_optimize(
     """Motion-only BA: 4 rounds x 10 LM iterations with chi2 inlier
     reclassification between rounds; Huber active for the first two rounds
     (src/Optimizer.cc:239-451)."""
+    if USE_PALLAS_LM and jax.default_backend() == "tpu":
+        from orb_slam2_comment_tpu.ops.lm_pallas import pose_optimize_pallas
+
+        return pose_optimize_pallas(
+            Tcw0, Xw, obs, octave, is_stereo, valid, inv_sigma2_levels,
+            K, bf, rounds=rounds, iters=iters,
+        )
 
     batched_jac = jax.vmap(_edge_jacobians, in_axes=(None, 0, 0, None, None))
     chi2_th = jnp.where(is_stereo, C.CHI2_STEREO, C.CHI2_MONO)
