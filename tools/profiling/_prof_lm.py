@@ -20,7 +20,11 @@ stereo = jnp.asarray(r.random(N) < 0.7)
 valid = jnp.ones(N, bool)
 T0 = geo.se3_exp(jnp.asarray([0.08, -0.04, 0.06, 0.015, -0.02, 0.006], jnp.float32))
 
+import sys
+print("compiling XLA path...", flush=True)
 ref = optim.pose_optimize(T0, Xw, obs, octave, stereo, valid, inv_s2, K, BF)
+print("XLA done, n_inl:", int(ref.n_inliers), flush=True)
+print("compiling PALLAS path...", flush=True)
 got = pose_optimize_pallas(T0, Xw, obs, octave, stereo, valid, inv_s2, K, BF)
 d = np.asarray(geo.se3_log(got.Tcw @ geo.inv_T(ref.Tcw)))
 print("pose delta vs XLA:", np.linalg.norm(d),
