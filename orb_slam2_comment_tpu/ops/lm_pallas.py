@@ -237,8 +237,13 @@ def _make_kernel(K, bf, rounds, iters, robust_rounds):
         mask = valid0
         for rd in range(rounds):
             pose, mask = lm_round(pose, mask, robust=rd < robust_rounds)
+        # Mosaic forbids scalar stores to VMEM; scatter the 12 pose scalars
+        # into one lane-indexed row and store it with a single vector write.
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        out_row = jnp.zeros((1, 128), jnp.float32)
         for i in range(12):
-            tout_ref[0, i] = pose[i]
+            out_row = jnp.where(lane == i, pose[i], out_row)
+        tout_ref[:] = out_row
         inl_ref[:] = mask
 
     return kernel

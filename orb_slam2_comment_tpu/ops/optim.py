@@ -103,7 +103,7 @@ class PoseOptResult(NamedTuple):
 # route pose_optimize through the single-kernel Pallas LM on TPU (see
 # ops/lm_pallas.py); the XLA path below remains the reference semantics
 # and the CPU/test path
-USE_PALLAS_LM = False
+USE_PALLAS_LM = True
 
 
 @functools.partial(
