@@ -102,8 +102,11 @@ class PoseOptResult(NamedTuple):
 
 # route pose_optimize through the single-kernel Pallas LM on TPU (see
 # ops/lm_pallas.py); the XLA path below remains the reference semantics
-# and the CPU/test path
-USE_PALLAS_LM = True
+# and the CPU/test path. Env-overridable (USE_PALLAS_LM=0/1) for hardware
+# A/B runs under bench.py defaults.
+import os as _os
+
+USE_PALLAS_LM = _os.environ.get("USE_PALLAS_LM", "1") not in ("0", "false", "False")
 
 
 @functools.partial(
