@@ -101,18 +101,39 @@ class KeyFrameDatabase:
         return keep[:max_out]
 
     def detect_reloc_candidates(self, query_vec, max_out: int = 5,
-                                valid_mask=None):
+                                valid_mask=None, m: "ms.MapState" = None):
         """DetectRelocalizationCandidates (src/KeyFrameDatabase.cc:199-311):
-        same gating without the minScore floor or covisibility exclusion.
-        The covisibility-group accumulation is skipped (scores already rank
-        well at our map sizes); top candidates are returned directly."""
+        same word/score gating as the loop path but without the minScore
+        floor or covisibility exclusion, then score accumulation over each
+        candidate's top-10 covisibility group; keep the best KF of every
+        group whose accumulated score > 0.75 * bestAccScore."""
         exclude = np.zeros(self.bow.shape[0], bool)
         if valid_mask is not None:
             exclude |= ~np.asarray(valid_mask)
         cand, scores = self._candidates(query_vec, exclude, min_score=-1.0)
         if len(cand) == 0:
             return []
-        order = cand[np.argsort(-scores[cand])]
-        best = scores[order[0]]
-        out = [int(c) for c in order if scores[c] > 0.75 * best]
-        return out[:max_out]
+        if m is None:
+            # no map (pre-init): rank raw scores
+            order = cand[np.argsort(-scores[cand])]
+            best = scores[order[0]]
+            out = [int(c) for c in order
+                   if scores[c] > C.BOW_ACC_SCORE_RATIO * best]
+            return out[:max_out]
+        cand_set = set(int(c) for c in cand)
+        acc = []
+        for c in cand:
+            cw = np.asarray(ms.covisibility_weights(m, jnp.asarray(int(c))))
+            group = list(np.argsort(-cw)[: C.BOW_COVIS_GROUP])
+            group = [g for g in group if cw[g] > 0] + [int(c)]
+            acc_score = sum(scores[g] for g in group if g in cand_set)
+            best_in_group = max(
+                (g for g in group if g in cand_set), key=lambda g: scores[g]
+            )
+            acc.append((acc_score, best_in_group))
+        best_acc = max(a for a, _ in acc)
+        keep = sorted(
+            {b for a, b in acc if a > C.BOW_ACC_SCORE_RATIO * best_acc},
+            key=lambda b: -scores[b],
+        )
+        return keep[:max_out]

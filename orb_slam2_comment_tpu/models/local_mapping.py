@@ -62,61 +62,68 @@ def _kf_feats(m: ms.MapState, k) -> FrameFeatures:
 # 1. point statistics refresh (distinctive descriptors)
 # ---------------------------------------------------------------------------
 
+MAX_DESC_OBS = 12  # observation descriptors considered per point
+
+
 @jax.jit
 def update_point_descriptors(m: ms.MapState) -> ms.MapState:
     """Representative descriptor per point: the observation descriptor
-    closest to the bitwise majority of all observations.
+    with the minimum MEDIAN Hamming distance to all other observations —
+    exact MapPoint::ComputeDistinctiveDescriptors semantics
+    (src/MapPoint.cc:242-307; the median includes the zero self-distance,
+    matching vDists[0.5*(N-1)] over the full row).
 
-    Same intent as MapPoint::ComputeDistinctiveDescriptors
-    (src/MapPoint.cc:242-307, min-median Hamming); the majority-vote
-    argmin is its batched analogue (both pick a central element).
+    Batched layout: a scan over KFs gathers up to MAX_DESC_OBS observation
+    descriptors per point into fixed slots, then one [Pmax, O, O] packed
+    XOR-popcount gives all pairwise distances at once.
     """
     Kmax, N = m.kf_obs.shape
     pmax = m.pt_pos.shape[0]
+    O = MAX_DESC_OBS
 
-    def unpack(desc):  # [N, 8] u32 -> [N, 256] int32 bits
-        shifts = jnp.arange(32, dtype=jnp.uint32)
-        bits = (desc[..., None] >> shifts) & jnp.uint32(1)
-        return bits.reshape(desc.shape[:-1] + (256,)).astype(jnp.int32)
+    def fill_scan(carry, k):
+        slots, cnt = carry
+        obs_k = m.kf_obs[k]
+        pid = jnp.clip(obs_k, 0, pmax - 1)
+        ok = (obs_k >= 0) & m.kf_valid[k] & m.kf_feat_valid[k]
+        # invalid entries scatter into the sentinel row pmax (NOT a clipped
+        # real pid — duplicate indices with differing payloads would race
+        # and can clobber a real point's slot)
+        keep = ok & (cnt[pid] < O)   # first O observations win
+        pid_w = jnp.where(keep, pid, pmax)
+        j = jnp.where(keep, jnp.minimum(cnt[pid], O - 1), O - 1)
+        slots = slots.at[pid_w, j].set(m.kf_desc[k], mode="drop")
+        cnt = cnt.at[pid].add(ok.astype(jnp.int32))
+        return (slots, cnt), None
 
-    def vote_scan(carry, k):
-        votes, counts = carry
-        pid = jnp.clip(m.kf_obs[k], 0, pmax - 1)
-        ok = (m.kf_obs[k] >= 0) & m.kf_valid[k] & m.kf_feat_valid[k]
-        bits = unpack(m.kf_desc[k])
-        votes = votes.at[pid].add(jnp.where(ok[:, None], bits, 0))
-        counts = counts.at[pid].add(ok.astype(jnp.int32))
-        return (votes, counts), None
+    slots0 = jnp.zeros((pmax + 1, O, 8), jnp.uint32)
+    cnt0 = jnp.zeros(pmax, jnp.int32)
+    (slots, cnt), _ = jax.lax.scan(fill_scan, (slots0, cnt0), jnp.arange(Kmax))
+    slots = slots[:pmax]
+    n_obs = jnp.minimum(cnt, O)
 
-    votes0 = jnp.zeros((pmax, 256), jnp.int32)
-    counts0 = jnp.zeros(pmax, jnp.int32)
-    (votes, counts), _ = jax.lax.scan(
-        vote_scan, (votes0, counts0), jnp.arange(Kmax)
-    )
-    majority = (2 * votes > counts[:, None]).astype(jnp.int32)  # [Pmax, 256]
-
-    def best_scan(carry, k):
-        best_d, best_desc = carry
-        pid = jnp.clip(m.kf_obs[k], 0, pmax - 1)
-        ok = (m.kf_obs[k] >= 0) & m.kf_valid[k] & m.kf_feat_valid[k]
-        bits = unpack(m.kf_desc[k])
-        d = jnp.sum(jnp.abs(bits - majority[pid]), axis=-1)  # [N]
-        d = jnp.where(ok, d, 1 << 20)
-        better = d < best_d[pid]
-        best_d = best_d.at[pid].min(d)
-        # scatter descriptor where strictly better (last-wins among ties ok)
-        upd = jnp.where((better & ok)[:, None], m.kf_desc[k], best_desc[pid])
-        best_desc = best_desc.at[pid].set(upd)
-        return (best_d, best_desc), None
-
-    (best_d, best_desc), _ = jax.lax.scan(
-        best_scan,
-        (jnp.full(pmax, 1 << 21, jnp.int32), m.pt_desc),
-        jnp.arange(Kmax),
-    )
-    has = counts > 0
+    # pairwise Hamming distances per point: [Pmax, O, O]
+    x = slots[:, :, None, :] ^ slots[:, None, :, :]
+    dist = jax.lax.population_count(x).sum(-1).astype(jnp.int32)
+    slot_ok = jnp.arange(O)[None, :] < n_obs[:, None]          # [Pmax, O]
+    big = jnp.asarray(1 << 20, jnp.int32)
+    dist = jnp.where(slot_ok[:, None, :], dist, big)           # mask cols
+    # median over each row's n valid entries (self-distance 0 included):
+    # sort ascending (invalid -> +big at the end), pick index (n-1)//2
+    dsort = jnp.sort(dist, axis=-1)
+    med_idx = jnp.clip((n_obs - 1) // 2, 0, O - 1)
+    median = jnp.take_along_axis(
+        dsort, med_idx[:, None, None].repeat(O, axis=1), axis=-1
+    )[..., 0]                                                  # [Pmax, O]
+    median = jnp.where(slot_ok, median, big)                   # mask rows
+    best = jnp.argmin(median, axis=-1)                         # [Pmax]
+    best_desc = jnp.take_along_axis(
+        slots, best[:, None, None].repeat(8, axis=2), axis=1
+    )[:, 0, :]
+    has = n_obs > 0
     return m._replace(
-        pt_desc=jnp.where(has[:, None] & m.pt_valid[:, None], best_desc, m.pt_desc)
+        pt_desc=jnp.where(has[:, None] & m.pt_valid[:, None],
+                          best_desc, m.pt_desc)
     )
 
 
@@ -166,6 +173,7 @@ def cull_orphans(m: ms.MapState) -> ms.MapState:
 # ---------------------------------------------------------------------------
 
 N_CULL_CANDIDATES = 6
+MAX_REPARENT_CHILDREN = 8  # iterative best-covisible re-parent rounds per cull
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -187,6 +195,21 @@ def cull_keyframes(m: ms.MapState, kf_id: jax.Array, cfg: SlamConfig) -> ms.MapS
     w = ms.covisibility_weights(m, kf_id)
     _, cand = jax.lax.top_k(w, N_CULL_CANDIDATES)
     mono = cfg.sensor == MONOCULAR
+
+    # full KF-KF covisibility weights (one incidence matmul) for the
+    # best-covisible re-parenting of culled KFs' children
+    # (KeyFrame::SetBadFlag candidate-parent search, src/KeyFrame.cc:480-540)
+    inc = jnp.zeros((kmax, pmax), jnp.bfloat16)
+    rows = jnp.repeat(jnp.arange(kmax, dtype=jnp.int32), N)
+    fp = jnp.clip(m.kf_obs.reshape(-1), 0, pmax - 1)
+    ok_obs = (
+        (m.kf_obs.reshape(-1) >= 0)
+        & m.kf_valid.repeat(N)
+        & m.kf_feat_valid.reshape(-1)
+        & m.pt_valid[fp]
+    )
+    inc = inc.at[rows, fp].max(jnp.where(ok_obs, 1.0, 0.0).astype(jnp.bfloat16))
+    W_full = jnp.dot(inc, inc.T, preferred_element_type=jnp.float32)
 
     def cull_one(m, k):
         obs_k = m.kf_obs[k]                              # [N]
@@ -232,11 +255,39 @@ def cull_keyframes(m: ms.MapState, kf_id: jax.Array, cfg: SlamConfig) -> ms.MapS
         pk = jnp.clip(parent, 0, kmax - 1)
         Tcp = m.kf_pose[k] @ geo.inv_T(m.kf_pose[pk])
         new_valid = m.kf_valid.at[k].set(m.kf_valid[k] & ~cull)
-        # re-parent children of k to k's parent (the reference picks the
-        # best-covisible candidate parent, src/KeyFrame.cc:480-540; the
-        # grandparent is the spanning-tree-preserving simplification)
-        reparent = cull & (m.kf_parent == k)
-        new_parent = jnp.where(reparent, parent, m.kf_parent)
+
+        # re-parent children of k by the reference's iterative
+        # best-covisible candidate search (src/KeyFrame.cc:480-540):
+        # candidates start as {k's parent}; the globally best
+        # (child, candidate) covisibility pair connects first and the
+        # child joins the candidate set; children with no covisible
+        # candidate fall back to k's parent.
+        children = cull & (m.kf_parent == k)
+        cand_mask = (jnp.arange(kmax) == pk) & new_valid
+        new_parent = m.kf_parent
+
+        def reparent_body(_, st):
+            cand_mask, new_parent, ch_left = st
+            Wm = jnp.where(
+                ch_left[:, None] & cand_mask[None, :], W_full, -1.0
+            )
+            flat = jnp.argmax(Wm)
+            ci = (flat // kmax).astype(jnp.int32)
+            qi = (flat % kmax).astype(jnp.int32)
+            do = Wm.reshape(-1)[flat] >= C.COVIS_MIN_WEIGHT
+            new_parent = new_parent.at[ci].set(
+                jnp.where(do, qi, new_parent[ci])
+            )
+            cand_mask = cand_mask.at[ci].set(cand_mask[ci] | do)
+            ch_left = ch_left.at[ci].set(ch_left[ci] & ~do)
+            return cand_mask, new_parent, ch_left
+
+        cand_mask, new_parent, ch_left = jax.lax.fori_loop(
+            0, MAX_REPARENT_CHILDREN, reparent_body,
+            (cand_mask, new_parent, children),
+        )
+        # leftovers (no covisible candidate) -> the culled KF's parent
+        new_parent = jnp.where(ch_left, parent, new_parent)
         return m._replace(
             kf_valid=new_valid,
             kf_parent=new_parent,
@@ -383,8 +434,40 @@ def fuse_into_keyframe(
     the observation or trigger a duplicate merge keeping the
     most-observed point (ORBmatcher::Fuse, src/ORBmatcher.cc:825-975;
     driven by SearchInNeighbors, src/LocalMapping.cc:454-533)."""
+    return _fuse_points_core(m, m.kf_obs[src_kf], dst_kf, cfg,
+                             enabled=enabled, radius=3.0, prefer_src=False)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "radius", "prefer_src")
+)
+def fuse_point_set_into_keyframe(
+    m: ms.MapState,
+    pt_ids: jax.Array,   # [M] point ids (-1 padding)
+    dst_kf: jax.Array,
+    cfg: SlamConfig,
+    radius: float = 4.0,
+    prefer_src: bool = True,
+):
+    """Loop-closing SearchAndFuse body (src/LoopClosing.cc:587-643 /
+    ORBmatcher::Fuse(KF, Scw, ...), src/ORBmatcher.cc:977-1100): project an
+    arbitrary point set into one corrected keyframe at radius 4; on a
+    duplicate the LOOP point wins (the reference calls
+    MapPoint::Replace(existing -> loop point))."""
+    return _fuse_points_core(m, pt_ids, dst_kf, cfg, enabled=True,
+                             radius=radius, prefer_src=prefer_src)
+
+
+def _fuse_points_core(
+    m: ms.MapState,
+    pt_ids: jax.Array,
+    dst_kf: jax.Array,
+    cfg: SlamConfig,
+    enabled=True,
+    radius: float = 3.0,
+    prefer_src: bool = False,
+):
     pmax = m.pt_pos.shape[0]
-    pt_ids = m.kf_obs[src_kf]
     pid = jnp.clip(pt_ids, 0, pmax - 1)
     okp = (pt_ids >= 0) & m.pt_valid[pid]
     X = m.pt_pos[pid]
@@ -409,7 +492,7 @@ def fuse_into_keyframe(
         proj_desc=m.pt_desc[pid],
         proj_octave=pred_oct,
         feats=feats,
-        radius=3.0,
+        radius=radius,
         scale_factors=jnp.asarray(cfg.orb.scales),
         max_dist=cfg.th_low,
     )
@@ -431,7 +514,12 @@ def fuse_into_keyframe(
     # case B: duplicate -> merge into the more-observed point
     dup = do & has_existing
     exist_c = jnp.clip(existing, 0, pmax - 1)
-    keep_existing = obs_counts[exist_c] >= obs_counts[pid]
+    if prefer_src:
+        # loop fusion: the projected (corrected) loop point replaces the
+        # local duplicate unconditionally (LoopClosing.cc:634-641)
+        keep_existing = jnp.zeros_like(dup)
+    else:
+        keep_existing = obs_counts[exist_c] >= obs_counts[pid]
     winner = jnp.where(keep_existing, existing, src_pt)
     loser = jnp.where(keep_existing, src_pt, existing)
     rep = jnp.arange(pmax, dtype=jnp.int32)

@@ -24,7 +24,10 @@ import numpy as np
 
 from orb_slam2_comment_tpu import constants as C
 from orb_slam2_comment_tpu.models import map_state as ms
-from orb_slam2_comment_tpu.models.local_mapping import fuse_into_keyframe
+from orb_slam2_comment_tpu.models.local_mapping import (
+    fuse_into_keyframe,
+    fuse_point_set_into_keyframe,
+)
 from orb_slam2_comment_tpu.ops import bow as bow_mod
 from orb_slam2_comment_tpu.ops import geometry as geo
 from orb_slam2_comment_tpu.ops import matching, optim, ransac
@@ -234,9 +237,23 @@ class LoopCloser:
             )
         )
         trk.map = m
-        for nb in list(neigh)[:5]:
-            m, _ = fuse_into_keyframe(
-                m, jnp.asarray(cand), jnp.asarray(int(nb)), cfg
+        # SearchAndFuse (src/LoopClosing.cc:587-643): project the LOOP
+        # NEIGHBORHOOD's points (cand + its covisible KFs — the reference's
+        # mvpLoopMapPoints) into EVERY corrected keyframe at radius 4; on
+        # duplicates the loop point replaces the local one
+        wl = np.asarray(ms.covisibility_weights(m, jnp.asarray(cand)))
+        loop_kfs = [cand] + np.where(wl >= C.COVIS_MIN_WEIGHT)[0].tolist()
+        obs = np.asarray(m.kf_obs[jnp.asarray(loop_kfs)]).ravel()
+        pt_valid_np = np.asarray(m.pt_valid)
+        lp = np.unique(obs[obs >= 0])
+        lp = lp[pt_valid_np[lp]]
+        cap = 4096
+        lp_vec = np.full(cap, -1, np.int64)
+        lp_vec[: min(len(lp), cap)] = lp[:cap]
+        lp_dev = jnp.asarray(lp_vec, jnp.int32)
+        for nb in sorted(neigh):
+            m, _ = fuse_point_set_into_keyframe(
+                m, lp_dev, jnp.asarray(int(nb)), cfg
             )
         trk.map = m
 

@@ -37,6 +37,9 @@ class MapState(NamedTuple):
     kf_desc: jax.Array       # [Kmax, N, 8] uint32
     kf_feat_valid: jax.Array  # [Kmax, N] bool
     kf_obs: jax.Array        # [Kmax, N] int32 point id or -1
+    kf_group: jax.Array      # [Kmax, N] int32 BoW FeatureVector node id
+                             # (-1 = none/not yet indexed; an all -1 row
+                             # disables node gating for that KF)
     kf_parent: jax.Array     # [Kmax] int32 spanning-tree parent (-1 = root)
     kf_Tcp: jax.Array        # [Kmax, 4, 4] pose relative to parent, frozen at
                              # cull time (KeyFrame::mTcp, src/KeyFrame.cc:540;
@@ -68,6 +71,7 @@ def empty_map(max_kfs: int, max_pts: int, n_feat: int) -> MapState:
         kf_desc=jnp.zeros((max_kfs, n_feat, 8), jnp.uint32),
         kf_feat_valid=jnp.zeros((max_kfs, n_feat), bool),
         kf_obs=jnp.full((max_kfs, n_feat), -1, jnp.int32),
+        kf_group=jnp.full((max_kfs, n_feat), -1, jnp.int32),
         kf_parent=jnp.full(max_kfs, -1, jnp.int32),
         kf_Tcp=jnp.tile(jnp.eye(4), (max_kfs, 1, 1)),
         pt_pos=jnp.zeros((max_pts, 3), jnp.float32),
@@ -113,13 +117,11 @@ def point_observation_counts(m: MapState) -> jax.Array:
 
 @jax.jit
 def update_point_stats(m: MapState) -> MapState:
-    """Refresh representative descriptors, normals and scale bands for all
-    valid points from their current observations.
-
-    Batched equivalent of MapPoint::ComputeDistinctiveDescriptors
-    (min-mean-distance descriptor, src/MapPoint.cc:242-307 — we use the
-    min-mean rather than min-median; same argmin family, cheaper batched)
-    and MapPoint::UpdateNormalAndDepth (src/MapPoint.cc:330-371).
+    """Refresh normals and scale bands for all valid points from their
+    current observations — batched MapPoint::UpdateNormalAndDepth
+    (src/MapPoint.cc:330-371). Representative descriptors are refreshed
+    separately by local_mapping.update_point_descriptors (the min-median
+    ComputeDistinctiveDescriptors equivalent, src/MapPoint.cc:242-307).
     """
     Kmax, N = m.kf_obs.shape
     pmax = m.pt_pos.shape[0]

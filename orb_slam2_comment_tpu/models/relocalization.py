@@ -35,7 +35,7 @@ def relocalize(m: ms.MapState, db, frame, cfg: SlamConfig):
     words, groups, vec = bow_mod.transform(
         db.voc, frame.feats.desc, frame.feats.valid
     )
-    candidates = db.detect_reloc_candidates(vec, valid_mask=m.kf_valid)
+    candidates = db.detect_reloc_candidates(vec, valid_mask=m.kf_valid, m=m)
     inv_s2 = _inv_sigma2(cfg)
     for kf in candidates:
         kf_j = jnp.asarray(kf)

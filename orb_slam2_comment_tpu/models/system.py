@@ -47,6 +47,17 @@ class System:
                 vocabulary = bow_mod.load_orb_vocab(vocabulary_path)
             else:
                 vocabulary = bow_mod.load_vocabulary(vocabulary_path)
+        if vocabulary is None and vocabulary_path is None:
+            # packaged offline vocabulary (tools/train_our_vocab.py) — the
+            # System ctor's ORBVocabulary::loadFromTextFile equivalent
+            # (src/System.cc:64-65); fall back to first-KF bootstrap when
+            # the asset is absent
+            import os
+
+            asset = os.path.join(os.path.dirname(__file__), "..",
+                                 "assets", "voc_synth.npz")
+            if os.path.exists(asset):
+                vocabulary = bow_mod.load_vocabulary(asset)
         self.voc = vocabulary
         self.db: Optional[KeyFrameDatabase] = None
         self.loop_closer: Optional[LoopCloser] = None
@@ -75,6 +86,16 @@ class System:
         if self._loop_enabled:
             self.loop_closer = LoopCloser(self.cfg, self.tracker, self.db)
         self.tracker.reloc_fn = self._relocalize
+        if self.voc.group_depth == self.cfg.voc_levels:
+            self.tracker.set_vocabulary_gate(self.voc)
+        else:
+            # frame-side group ids descend cfg.voc_levels levels; they must
+            # key the same tree depth as the DB's stored KF groups or the
+            # node gate would silently reject everything — leave the gate
+            # as the no-op dummy instead
+            print(f"[system] vocabulary group_depth={self.voc.group_depth} "
+                  f"!= cfg.voc_levels={self.cfg.voc_levels}; "
+                  "BoW tracking gate disabled")
 
     def _maybe_bootstrap_vocab(self, kf_id: int):
         if self.voc is not None:
@@ -90,6 +111,7 @@ class System:
             return
         m = self.tracker.map
         self.db.add(kf_id, m.kf_desc[kf_id], m.kf_feat_valid[kf_id])
+        self.tracker.set_kf_groups(kf_id, self.db.groups[kf_id])
         if self.loop_closer is not None:
             if self.loop_closer.process(kf_id):
                 self.n_loops += 1
@@ -286,7 +308,12 @@ class System:
 
     def load_map(self, path):
         z = np.load(path)
-        m = ms.MapState(**{f: jnp.asarray(z[f]) for f in ms.MapState._fields})
+        empty = ms.empty_map(self.cfg.max_keyframes, self.cfg.max_points,
+                             self.tracker._n_slots())
+        m = ms.MapState(**{
+            f: jnp.asarray(z[f]) if f in z else getattr(empty, f)
+            for f in ms.MapState._fields
+        })
         self.tracker.map = m
         self.tracker.n_kfs = int(z["n_kfs"])
         self.tracker.n_pts = int(z["n_pts"])
@@ -295,9 +322,10 @@ class System:
                 (int(a), int(b), S)
                 for (a, b), S in zip(z["loop_edge_ids"], z["loop_edge_S"])
             ]
-        # re-index the database
+        # re-index the database (+ BoW node-gate groups)
         if self.db is not None:
             for k in range(self.tracker.n_kfs):
                 self.db.add(k, m.kf_desc[k], m.kf_feat_valid[k])
+                self.tracker.set_kf_groups(k, self.db.groups[k])
         self.tracker.state = LOST if self.tracker.n_kfs else -1
         self.tracker.ref_kf = max(self.tracker.n_kfs - 1, -1)

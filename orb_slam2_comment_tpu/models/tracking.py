@@ -29,6 +29,7 @@ import numpy as np
 from orb_slam2_comment_tpu import constants as C
 from orb_slam2_comment_tpu.models import map_state as ms
 from orb_slam2_comment_tpu.models.frame import Frame
+from orb_slam2_comment_tpu.ops import bow
 from orb_slam2_comment_tpu.ops import geometry as geo
 from orb_slam2_comment_tpu.ops import matching, optim
 from orb_slam2_comment_tpu.utils.config import MONOCULAR, SlamConfig
@@ -377,17 +378,28 @@ def _create_kf_core(
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def _match_ref_kf(m: ms.MapState, ref_kf: jax.Array, feats, cfg: SlamConfig):
+def _match_ref_kf(m: ms.MapState, ref_kf: jax.Array, feats, cfg: SlamConfig,
+                  frame_groups: jax.Array = None):
     """Associate current features to the reference KF's map points by
-    descriptor matching (TrackReferenceKeyFrame's SearchByBoW,
-    src/Tracking.cc:757-799 / src/ORBmatcher.cc:159). Until the vocabulary
-    stage lands this is a full Hamming match with ratio 0.7 — a superset of
-    the BoW-node-masked candidate set."""
+    BoW-node-gated descriptor matching (TrackReferenceKeyFrame's
+    SearchByBoW, src/Tracking.cc:757-799 / src/ORBmatcher.cc:159-288).
+
+    The node gate is not just candidate pruning: it scopes the Lowe ratio
+    test to same-node competitors, which changes acceptance on repetitive
+    scenes — the reference semantics. When the KF has no indexed groups
+    yet (its kf_group row is all -1, i.e. the host backfill from the
+    KeyFrameDatabase has not landed) the gate falls back to the full
+    Hamming match, a superset of the node-masked candidate set."""
     kf_desc = m.kf_desc[ref_kf]
     kf_obs = m.kf_obs[ref_kf]
     kf_ok = m.kf_feat_valid[ref_kf] & (kf_obs >= 0)
     dist = matching.hamming_from_packed(kf_desc, feats.desc)
     mask = kf_ok[:, None] & feats.valid[None, :]
+    if frame_groups is not None:
+        ga = m.kf_group[ref_kf]
+        row_ungated = ~jnp.any(ga >= 0)
+        node_ok = (ga[:, None] == frame_groups[None, :]) & (ga >= 0)[:, None]
+        mask = mask & (node_ok | row_ungated)
     res = matching.match_generic(
         dist, mask, cfg.th_low, nn_ratio=0.7, mutual=True,
         angles_a=m.kf_angle[ref_kf], angles_b=feats.angle,
@@ -500,10 +512,11 @@ def _track_frame_fused(
     last_kf_frame_id: jax.Array,
     n_kfs: jax.Array,
     cfg: SlamConfig,
+    voc_gate=None,
 ):
     return _track_core(
         m, feats, uright, depth, T_pred, T_last, have_velocity, last_assoc,
-        ref_kf, frame_id, last_kf_frame_id, n_kfs, cfg,
+        ref_kf, frame_id, last_kf_frame_id, n_kfs, cfg, voc_gate=voc_gate,
     )
 
 
@@ -523,6 +536,9 @@ def _track_core(
     cfg: SlamConfig,
     obs_counts: jax.Array = None,  # [Pmax] cached per-point observation
                                    # counts; recomputed only on map change
+    voc_gate=None,                 # (children [Nn,k] i32, signed [Nn,256]
+                                   # bf16) BoW tree for node-gated ref-KF
+                                   # matching; None = full Hamming
 ):
     """Returns (m', Tcw, assoc, stats[N_STATS] f32).
 
@@ -563,7 +579,11 @@ def _track_core(
     # fallback order, Tracking.cc:342-352); skipping it saves ~1.5ms on
     # every steady-state frame
     def _ref_branch(_):
-        assoc_r, n_r = _match_ref_kf(m, ref_kf, feats, cfg)
+        fg = None
+        if voc_gate is not None:
+            fg = bow.group_ids(voc_gate[0], voc_gate[1], feats.desc,
+                               feats.valid, cfg.voc_levels)
+        assoc_r, n_r = _match_ref_kf(m, ref_kf, feats, cfg, frame_groups=fg)
         T_r, assoc_r, inl_r = _pose_opt_from_assoc(
             m, T_last, feats, uright, assoc_r, cfg
         )
@@ -707,6 +727,9 @@ class DeviceTrackState(NamedTuple):
     last_kf_frame_id: jax.Array  # scalar int32
     obs_counts: jax.Array        # [Pmax] cached per-point observation counts
                                  # (recomputed on KF create / map mutation)
+    voc_children: jax.Array      # [Nn,k] i32 BoW tree for node-gated ref-KF
+    voc_signed: jax.Array        # [Nn,256] bf16 matching (1-node dummy =
+                                 # gate disabled; see bow.gate_arrays)
 
 
 # packed per-frame output vector layout (appended after stats[N_STATS])
@@ -737,6 +760,7 @@ def _frame_step_core(m, ds: DeviceTrackState, feats, uright, depth, meta, cfg):
         m, feats, uright, depth, T_pred, ds.T_last, ds.have_vel,
         ds.last_assoc, ds.ref_kf, frame_id, ds.last_kf_frame_id, ds.n_kfs, cfg,
         obs_counts=ds.obs_counts,
+        voc_gate=(ds.voc_children, ds.voc_signed),
     )
     tracked = stats[S_TRACKED] > 0
     # recently-relocalized frames require the stricter inlier floor
@@ -792,6 +816,8 @@ def _frame_step_core(m, ds: DeviceTrackState, feats, uright, depth, meta, cfg):
         n_pts=ds.n_pts + n_created.astype(jnp.int32),
         last_kf_frame_id=jnp.where(need_kf, frame_id, ds.last_kf_frame_id),
         obs_counts=obs_counts2,
+        voc_children=ds.voc_children,
+        voc_signed=ds.voc_signed,
     )
     kmax = m.kf_pose.shape[0]
     Tcr = Tcw @ geo.inv_T(m.kf_pose[jnp.clip(ref2, 0, kmax - 1)])
@@ -1004,6 +1030,9 @@ class Tracker:
         self.last_reloc_frame_id = -(1 << 30)
         self.new_kf_callbacks = []   # local-mapping hook
         self.reloc_fn = None         # relocalization hook (set by System)
+        # BoW node-gate tree (1-node dummy until a vocabulary is wired by
+        # System.set_vocabulary_gate; dummy => gate is a no-op)
+        self._voc_gate = bow.gate_arrays(None)
         self.n_last_inliers = 0
         self.vo = False              # mbVO: tracking on temporal VO points
                                      # (localization-only, Tracking.cc:333)
@@ -1146,7 +1175,34 @@ class Tracker:
             if np.isscalar(self.n_pts_dev) else self.n_pts_dev.astype(jnp.int32),
             last_kf_frame_id=jnp.asarray(self.last_kf_frame_id, jnp.int32),
             obs_counts=_obs_counts_jit(self.map),
+            # copies: ds is donated every step; self._voc_gate must survive
+            # for the next sync / the staged path's frame_groups
+            voc_children=jnp.array(self._voc_gate[0], copy=True),
+            voc_signed=jnp.array(self._voc_gate[1], copy=True),
         )
+
+    def set_vocabulary_gate(self, voc):
+        """Wire a vocabulary into the BoW node gate (called by System once
+        the vocabulary exists; updates the live device state too)."""
+        self._voc_gate = bow.gate_arrays(voc)
+        if self.ds is not None:
+            self.ds = self.ds._replace(
+                voc_children=jnp.array(self._voc_gate[0], copy=True),
+                voc_signed=jnp.array(self._voc_gate[1], copy=True),
+            )
+
+    def set_kf_groups(self, kf_id: int, groups):
+        """Backfill a keyframe's FeatureVector node ids (host write after
+        KeyFrameDatabase.add; until it lands the KF's all -1 row keeps the
+        ref-KF match ungated — the prior behavior)."""
+        self.map = self.map._replace(
+            kf_group=self.map.kf_group.at[kf_id].set(jnp.asarray(groups))
+        )
+
+    def frame_groups(self, feats):
+        """Current frame's FeatureVector node ids under the active gate."""
+        return bow.group_ids(self._voc_gate[0], self._voc_gate[1],
+                             feats.desc, feats.valid, self.cfg.voc_levels)
 
     # -- fused async entry points -------------------------------------------
     def _fused_ok(self):
@@ -1363,6 +1419,7 @@ class Tracker:
                 jnp.asarray(self.last_kf_frame_id, jnp.int32),
                 jnp.asarray(self.n_kfs, jnp.int32),
                 cfg,
+                voc_gate=self._voc_gate,
             )
             stats = np.asarray(stats)  # the single per-frame device pull
             tracked = stats[S_TRACKED] > 0
@@ -1550,7 +1607,8 @@ class Tracker:
                     ok = True
         if not ok and self.ref_kf >= 0:
             assoc, nm = _match_ref_kf(
-                self.map, jnp.asarray(self.ref_kf), frame.feats, cfg
+                self.map, jnp.asarray(self.ref_kf), frame.feats, cfg,
+                frame_groups=self.frame_groups(frame.feats),
             )
             if int(nm) >= C.TRACK_REF_KF_MIN_MATCHES:
                 Tcw, assoc, ninl = _pose_opt_from_assoc(

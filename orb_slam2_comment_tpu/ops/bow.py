@@ -79,7 +79,12 @@ def _majority(bits: np.ndarray) -> np.ndarray:
 
 
 def _hamming_np(a_bits: np.ndarray, b_bits: np.ndarray) -> np.ndarray:
-    return (a_bits[:, None, :] != b_bits[None, :, :]).sum(-1)
+    """[N,256]x[M,256] unpacked-bit Hamming via packed popcount (40x less
+    memory than broadcasting the unpacked bits; np>=2.0 bitwise_count)."""
+    ap = np_pack_bits(a_bits)
+    bp = np_pack_bits(b_bits)
+    return np.bitwise_count(ap[:, None, :] ^ bp[None, :, :]).sum(
+        -1, dtype=np.int32)
 
 
 def train_vocabulary(
@@ -101,23 +106,29 @@ def train_vocabulary(
     node_parent = [-1]
     node_depth = [0]
 
+    packed_all = np_pack_bits(bits)
+
+    def _dists(pdata, cents):
+        return np.bitwise_count(
+            pdata[:, None, :] ^ np_pack_bits(cents)[None, :, :]
+        ).sum(-1, dtype=np.int32)
+
     def split(node_id, idx, d):
         nonlocal children_rows, node_descs
         if d >= depth or len(idx) < k:
             return
         data = bits[idx]
+        pdata = packed_all[idx]
         # k-medians init: random distinct samples
         sel = r.choice(len(idx), size=min(k, len(idx)), replace=False)
         cents = data[sel].copy()
         for _ in range(iters):
-            dmat = _hamming_np(data, cents)
-            assign = dmat.argmin(1)
+            assign = _dists(pdata, cents).argmin(1)
             for c in range(len(cents)):
                 members = data[assign == c]
                 if len(members):
                     cents[c] = _majority(members)
-        dmat = _hamming_np(data, cents)
-        assign = dmat.argmin(1)
+        assign = _dists(pdata, cents).argmin(1)
         row = np.full(k, -1, np.int64)
         for c in range(len(cents)):
             members = idx[assign == c]
@@ -196,6 +207,46 @@ def _transform_impl(
     words = jnp.where(valid, node_word[node], -1)
     group = jnp.where(valid, group, -1)
     return words, group
+
+
+@functools.partial(jax.jit, static_argnames=("levels",))
+def group_ids(children, node_desc_signed, desc, valid, levels: int):
+    """Descend only `levels` levels -> FeatureVector group-node ids [N]
+    (-1 for invalid features). This is the cheap per-frame transform the
+    BoW-gated tracking path needs (SearchByBoW iterates FeatureVector
+    nodes, src/ORBmatcher.cc:159-288); full word ids are not required.
+
+    With the 1-node dummy tree (no vocabulary yet) every feature lands in
+    group 0, which makes the node gate a no-op — callers never branch."""
+    n = desc.shape[0]
+    sbits = unpack_descriptors_signed(desc)
+    dots = jnp.dot(sbits, node_desc_signed.T,
+                   preferred_element_type=jnp.float32)
+    node = jnp.zeros(n, jnp.int32)
+    for _ in range(levels):
+        ch = children[node]
+        has = ch >= 0
+        chc = jnp.clip(ch, 0, dots.shape[1] - 1)
+        dch = jnp.where(has, -jnp.take_along_axis(dots, chc, axis=1), 1e9)
+        best = jnp.argmin(dch, axis=1)
+        nxt = jnp.take_along_axis(chc, best[:, None], axis=1)[:, 0]
+        node = jnp.where(jnp.any(has, axis=1), nxt, node)
+    return jnp.where(valid, node, -1)
+
+
+def gate_arrays(voc: "Vocabulary | None", k: int = 10):
+    """(children int32, node_desc_signed bf16) for the tracking node gate;
+    a 1-node dummy tree when no vocabulary exists yet.
+
+    children is COPIED: the gate arrays ride inside the donated
+    DeviceTrackState, and aliasing the Vocabulary's own buffer there would
+    delete it under the KeyFrameDatabase (the donated-buffer rule in
+    CLAUDE.md / tracking._sync_ds_from_host)."""
+    if voc is None:
+        return (jnp.full((1, k), -1, jnp.int32),
+                jnp.zeros((1, 256), jnp.bfloat16))
+    return (jnp.array(voc.children, copy=True),
+            unpack_descriptors_signed(voc.node_desc))
 
 
 def transform(voc: Vocabulary, desc: jax.Array, valid: jax.Array):

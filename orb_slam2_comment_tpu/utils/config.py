@@ -69,6 +69,11 @@ class SlamConfig:
     # ORB stability. Synthetic scenes with noisier descriptors run at
     # 1.4-1.6.
     match_th_scale: float = 1.0
+    # BoW FeatureVector grouping depth for node-gated matching: tree
+    # levels descended to produce group ids. 2 gives ~k^2 groups — the
+    # reference's effective granularity (ORBvoc L=6 at levelsup=4 ->
+    # nodes at depth 2, TemplatedVocabulary.h:135-146).
+    voc_levels: int = 2
 
     @property
     def th_low(self):

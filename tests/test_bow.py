@@ -87,3 +87,46 @@ class TestVocabulary:
         g = np.asarray(group)[np.asarray(f.valid)]
         # groups should be a coarser partition than words
         assert len(np.unique(g)) <= voc.n_words
+
+    def test_group_ids_matches_transform_groups(self):
+        """bow.group_ids (the tracking node gate's 2-level descent) must
+        agree with transform()'s FeatureVector groups when the vocabulary's
+        group_depth equals the descent depth."""
+        corpus, feats = _corpus(n_imgs=2)
+        voc = bow.train_vocabulary(corpus, k=6, depth=3, levels_up=1, seed=0)
+        assert voc.group_depth == 2
+        f = feats[0]
+        _, g_transform, _ = bow.transform(voc, f.desc, f.valid)
+        ch, signed = bow.gate_arrays(voc)
+        g_gate = bow.group_ids(ch, signed, f.desc, f.valid, levels=2)
+        np.testing.assert_array_equal(np.asarray(g_transform), np.asarray(g_gate))
+
+    def test_dummy_gate_is_noop_partition(self):
+        """Without a vocabulary the gate tree is 1 node: every valid
+        feature lands in group 0 (node mask == all-true)."""
+        r = np.random.default_rng(3)
+        desc = jnp.asarray(r.integers(0, 2**32, (32, 8), dtype=np.uint32))
+        valid = jnp.asarray(np.arange(32) < 30)
+        ch, signed = bow.gate_arrays(None)
+        g = np.asarray(bow.group_ids(ch, signed, desc, valid, levels=2))
+        assert (g[:30] == 0).all() and (g[30:] == -1).all()
+
+    def test_shipped_vocabulary_asset(self):
+        """The packaged offline vocabulary (tools/train_our_vocab.py) loads
+        and has the documented shape (k=10, depth=4, groups at depth 2)."""
+        import os
+        asset = os.path.join(os.path.dirname(bow.__file__), "..",
+                             "assets", "voc_synth.npz")
+        if not os.path.exists(asset):
+            import pytest
+            pytest.skip("vocabulary asset not built")
+        voc = bow.load_vocabulary(asset)
+        assert voc.k == 10 and voc.depth == 4 and voc.group_depth == 2
+        assert voc.n_words > 5000
+        corpus, feats = _corpus(n_imgs=1)
+        f = feats[0]
+        words, groups, vec = bow.transform(voc, f.desc, f.valid)
+        w = np.asarray(words)[np.asarray(f.valid)]
+        assert (w >= 0).all()
+        # a real vocabulary spreads descriptors over many words
+        assert len(np.unique(w)) > len(w) * 0.3

