@@ -96,11 +96,27 @@ def main():
     # tracking, keyframe creation, local mapping/BA, loop closing)
     t0 = time.perf_counter()
     n_timed = 0
+    frame_t = [t0]
     for im, dm, ts in staged:
         system.track_rgbd(im, dm, ts)
         n_timed += 1
+        frame_t.append(time.perf_counter())
     system.tracker._flush_all()
-    wall = time.perf_counter() - t0
+    frame_t.append(time.perf_counter())
+    wall = frame_t[-1] - t0
+    # per-frame latency distribution: inter-dispatch intervals, with the
+    # final drain charged to the last frame (the pipeline hides device
+    # latency, so a stall here = a frame whose device work blocked the
+    # host, e.g. a keyframe's mapper pass or a loop closure)
+    dt = np.diff(np.array(frame_t))
+    dt[-2] += dt[-1]  # fold the drain into the last frame
+    dt = dt[:-1] * 1e3  # ms
+    lat = {
+        "p50_ms": round(float(np.percentile(dt, 50)), 2),
+        "p90_ms": round(float(np.percentile(dt, 90)), 2),
+        "p99_ms": round(float(np.percentile(dt, 99)), 2),
+        "max_ms": round(float(dt.max()), 2),
+    }
     st = system.get_tracking_state()
     print(
         f"# timed {n_timed} frames in {wall*1e3:.0f}ms, final state={st}, "
@@ -117,6 +133,7 @@ def main():
                 "value": round(fps, 2),
                 "unit": "fps",
                 "vs_baseline": round(fps / 30.0, 3),
+                **lat,
             }
         )
     )

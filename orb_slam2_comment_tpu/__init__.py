@@ -21,6 +21,14 @@ the reference repo root.
 """
 
 import jax as _jax
+import os as _os0
+
+# Escape hatch for tunnel-TPU outages and CPU-only CI: setting
+# ORB_SLAM2_TPU_FORCE_CPU=1 pins the CPU backend before any jax use
+# (the env var JAX_PLATFORMS alone is ignored here — sitecustomize
+# registers the axon TPU backend first; see CLAUDE.md).
+if _os0.environ.get("ORB_SLAM2_TPU_FORCE_CPU", "") not in ("", "0"):
+    _jax.config.update("jax_platforms", "cpu")
 
 # Geometry/solver math is float32 and relies on exact f32 matmuls (3x3/6x6
 # Lie-group and normal-equation blocks). On TPU the default matmul precision

@@ -56,6 +56,22 @@ class KeyFrameDatabase:
     def erase(self, kf_id: int):
         self.valid = self.valid.at[kf_id].set(False)
 
+    def grow(self, new_max_kfs: int):
+        """Widen to a larger KF capacity tier (see MapState.grow_map)."""
+        kmax = self.bow.shape[0]
+        if new_max_kfs <= kmax:
+            return
+        dk = new_max_kfs - kmax
+
+        def pad(x, fill):
+            return jnp.concatenate(
+                [x, jnp.full((dk,) + x.shape[1:], fill, x.dtype)], axis=0)
+
+        self.bow = pad(self.bow, 0)
+        self.groups = pad(self.groups, -1)
+        self.words = pad(self.words, -1)
+        self.valid = pad(self.valid, False)
+
     def _candidates(self, query_vec, exclude_mask, min_score):
         scores, common = _scores_kernel(self.bow, self.valid, query_vec)
         scores = np.array(scores)

@@ -47,6 +47,12 @@ class LoopCloser:
     # (src/KeyFrame.cc): they stay in every later essential graph
     # (src/Optimizer.cc:902-910)
     loop_edges: list = field(default_factory=list)
+    # chunked background GBA (the reference's transient GBA thread, P2):
+    # one LM iteration dispatched per frame via pump_background(); aborted
+    # wholesale when a new loop corrects (mbStopGBA,
+    # src/LoopClosing.cc:410-423) or on reset
+    gba_background: bool = True
+    _bg: object = None  # (prob, inv_s2, carry, it, snap_kf, snap_pt)
 
     # ------------------------------------------------------------------
     def process(self, kf_id: int):
@@ -263,13 +269,29 @@ class LoopCloser:
             m, trk.n_kfs, kf_id, cand, S12, self.loop_edges
         )
         self.loop_edges.append((cand, kf_id, np.asarray(S12)))
-        res = optim.essential_graph_optimize(
-            m.kf_pose,
-            m.kf_valid,
-            jnp.asarray(np.arange(kmax) == cand),
-            ei, ej, Sji, valid_edges,
-            fix_scale=cfg.sensor != MONOCULAR,
-        )
+        # dense [7K,7K] Cholesky wins below a few hundred KFs; past that
+        # the edge-indexed PCG solver is the only tractable option
+        # (KITTI-00 scale, see essential_graph_optimize_sparse)
+        if kmax <= 320:
+            res = optim.essential_graph_optimize(
+                m.kf_pose,
+                m.kf_valid,
+                jnp.asarray(np.arange(kmax) == cand),
+                ei, ej, Sji, valid_edges,
+                fix_scale=cfg.sensor != MONOCULAR,
+            )
+        else:
+            # PCG must propagate the loop correction across the whole
+            # spanning chain: depth ~ graph diameter, so scale with K
+            # (static per capacity tier -> bounded recompiles)
+            res = optim.essential_graph_optimize_sparse(
+                m.kf_pose,
+                m.kf_valid,
+                jnp.asarray(np.arange(kmax) == cand),
+                ei, ej, Sji, valid_edges,
+                fix_scale=cfg.sensor != MONOCULAR,
+                cg_iters=min(2 * kmax, 2400),
+            )
         # recover SE3 poses (t /= s) and remap points via their reference KF
         S_new = res.S
         m = _remap_points_after_graph(m, S_new)
@@ -278,13 +300,90 @@ class LoopCloser:
         ))
         trk.map = m
         # full-map BA after the graph optimization (LoopClosing.cc:575-579
-        # launches RunGlobalBundleAdjustment; synchronous here — see
-        # _global_ba_kernel docstring)
+        # launches RunGlobalBundleAdjustment on a transient thread). A new
+        # loop correction aborts any GBA still in flight
+        # (src/LoopClosing.cc:410-423).
+        self._bg = None
         if self.run_global_ba:
-            trk.map = m = _global_ba_kernel(m, cfg)
+            if self.gba_background:
+                self._start_background_gba(m)
+            else:
+                trk.map = m = _global_ba_kernel(m, cfg)
         # keep the tracker's host mirrors consistent
         trk.last_Tcw = np.asarray(m.kf_pose[jnp.asarray(kf_id)])
         trk.velocity = None
+        if trk.ds is not None:
+            # the fused pipeline's device pose must jump with the map
+            trk.ds = trk.ds._replace(
+                T_last=jnp.array(trk.last_Tcw, jnp.float32),
+                have_vel=jnp.asarray(False),
+            )
+
+    # -- chunked background GBA (P2/P6 equivalent) ----------------------
+    def _start_background_gba(self, m: ms.MapState):
+        cfg = self.cfg
+        prob, inv_s2 = _build_gba_problem(m, cfg)
+        carry = optim.gba_init_carry(prob, inv_s2, cfg.K, cfg.bf)
+        self._bg = [prob, inv_s2, carry, 0, m.kf_valid, m.pt_valid]
+
+    def pump_background(self) -> bool:
+        """Advance a pending background GBA by ONE bounded device chunk
+        (one LM iteration). Called once per tracked frame by System; the
+        chunk program interleaves with frame programs in the device queue,
+        so the worst-case per-frame stall is one chunk, not the whole GBA.
+        Returns True while a GBA is in flight."""
+        if self._bg is None:
+            return False
+        prob, inv_s2, carry, it, snap_kf, snap_pt = self._bg
+        cfg = self.cfg
+        carry = optim.gba_chunk(
+            prob, inv_s2, carry, jnp.asarray(it, jnp.int32),
+            cfg.K, cfg.bf, n_iters=1,
+        )
+        it += 1
+        self._bg[2] = carry
+        self._bg[3] = it
+        if it >= C.GBA_ITERS:
+            self._apply_background()
+            return False
+        return True
+
+    def finish_background(self):
+        """Run any remaining chunks to completion (shutdown / trajectory
+        save / map save: the reference waits for the GBA thread the same
+        way, src/System.cc:312-316)."""
+        while self._bg is not None:
+            self.pump_background()
+
+    def abort_background(self):
+        self._bg = None
+
+    def _apply_background(self):
+        prob, inv_s2, carry, it, snap_kf, snap_pt = self._bg
+        self._bg = None
+        cfg = self.cfg
+        trk = self.tracker
+        res = optim.gba_result(prob, inv_s2, cfg.K, cfg.bf, carry)
+        trk._flush_all()
+        m = trk.map
+        ref = trk.ref_kf if trk.ref_kf >= 0 else 0
+        T_ref_old = np.asarray(m.kf_pose[jnp.asarray(ref)])
+        m = _apply_gba_kernel(m, res.cam_T, res.pts, snap_kf, snap_pt)
+        trk.map = m
+        # carry the tracker's pose across the map jump: keep the pose
+        # relative to the reference KF fixed (Tcr * T_ref_new — the same
+        # relative-pose bridge the trajectory saver uses)
+        if trk.last_Tcw is not None:
+            T_ref_new = np.asarray(m.kf_pose[jnp.asarray(ref)])
+            Tcr = trk.last_Tcw @ np.linalg.inv(T_ref_old)
+            trk.last_Tcw = Tcr @ T_ref_new
+        trk.velocity = None
+        if trk.ds is not None:
+            trk.ds = trk.ds._replace(
+                T_last=jnp.array(trk.last_Tcw, jnp.float32)
+                if trk.last_Tcw is not None else trk.ds.T_last,
+                have_vel=jnp.asarray(False),
+            )
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -394,16 +493,13 @@ def _count_loop_matches(m, k1, k2, S12, sim3_ok, j_union, cfg: SlamConfig):
     return jnp.sum(matched_feat)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
-def _global_ba_kernel(m: ms.MapState, cfg: SlamConfig):
-    """Full-map BA after a loop closure (RunGlobalBundleAdjustment,
-    src/LoopClosing.cc:645-737; Optimizer::GlobalBundleAdjustemnt,
-    src/Optimizer.cc:41-47): every valid keyframe (KF 0 fixed) and every
-    valid landmark, solved by the matrix-free Schur/PCG engine. The
-    reference runs this on a transient thread and reconciles KFs created
-    meanwhile through the spanning tree (LoopClosing.cc:676-737); the
-    synchronous pipeline has no concurrent KF creation, so that
-    catch-up pass is vacuously complete here."""
+def _build_gba_problem(m: ms.MapState, cfg: SlamConfig):
+    """Assemble the full-map BAProblem (every valid KF, KF 0 fixed, every
+    valid landmark) + per-level information weights from a MapState
+    snapshot (Optimizer::GlobalBundleAdjustemnt vertex/edge construction,
+    src/Optimizer.cc:49-172). Deliberately NOT jitted with donation: the
+    snapshot must leave the live map alone — tracking keeps running on it
+    while the background GBA chunks away."""
     kmax = m.kf_pose.shape[0]
     pmax = m.pt_pos.shape[0]
     n = m.kf_obs.shape[1]
@@ -433,6 +529,17 @@ def _global_ba_kernel(m: ms.MapState, cfg: SlamConfig):
     inv_s2 = 1.0 / jnp.asarray(
         [cfg.scale_factor ** (2 * l) for l in range(cfg.n_levels)]
     )
+    return prob, inv_s2
+
+
+def _global_ba_kernel(m: ms.MapState, cfg: SlamConfig):
+    """Synchronous full-map BA after a loop closure
+    (RunGlobalBundleAdjustment, src/LoopClosing.cc:645-737), solved by the
+    matrix-free Schur/PCG engine. The chunked/interruptible variant is
+    BackgroundGBA below; this path remains for gba_background=False and
+    for tests that need the correction applied immediately."""
+    kmax = m.kf_pose.shape[0]
+    prob, inv_s2 = _build_gba_problem(m, cfg)
     res = optim.global_bundle_adjustment(
         prob, inv_s2, cfg.K, cfg.bf, iters=C.GBA_ITERS
     )
@@ -441,6 +548,53 @@ def _global_ba_kernel(m: ms.MapState, cfg: SlamConfig):
         kf_pose=jnp.where(write_cam[:, None, None], res.cam_T, m.kf_pose),
         pt_pos=jnp.where(m.pt_valid[:, None], res.pts, m.pt_pos),
     )
+
+
+@jax.jit
+def _apply_gba_kernel(m: ms.MapState, cam_T, pts, snap_kf, snap_pt):
+    """Write a (possibly chunked/backgrounded) GBA result into the CURRENT
+    map with the reference's catch-up reconciliation
+    (src/LoopClosing.cc:676-737): KFs created during GBA are corrected
+    through the spanning tree (Tcw_new = Tcw_old Twc_parent_old
+    Tcw_parent_new, parents first), points created during GBA are remapped
+    through their reference KF's pose change."""
+    kmax = m.kf_pose.shape[0]
+    pmax = m.pt_pos.shape[0]
+    old_pose = m.kf_pose
+    in_snap = snap_kf & m.kf_valid
+    base = jnp.where(
+        (in_snap & (jnp.arange(kmax) != 0))[:, None, None], cam_T, old_pose
+    )
+
+    # spanning-tree catch-up for post-snapshot KFs, in slot order (parents
+    # precede children in slot order by construction of KF creation)
+    def walk(pose_new, k):
+        p = jnp.clip(m.kf_parent[k], 0, kmax - 1)
+        has_parent = m.kf_parent[k] >= 0
+        corr = old_pose[k] @ geo.inv_T(old_pose[p]) @ pose_new[p]
+        is_new = m.kf_valid[k] & ~snap_kf[k] & has_parent
+        pose_new = pose_new.at[k].set(
+            jnp.where(is_new, corr, pose_new[k])
+        )
+        return pose_new, None
+
+    new_pose, _ = jax.lax.scan(walk, base, jnp.arange(kmax))
+
+    # points: snapshot points take the GBA positions; newer points are
+    # remapped through their reference KF (mnBAGlobalForKF catch-up,
+    # src/LoopClosing.cc:715-736)
+    ref = jnp.clip(m.pt_ref_kf, 0, kmax - 1)
+    Xc = jnp.einsum(
+        "pij,pj->pi", old_pose[ref][:, :3, :3], m.pt_pos
+    ) + old_pose[ref][:, :3, 3]
+    Tinv = jax.vmap(geo.inv_T)(new_pose)[ref]
+    X_remap = jnp.einsum("pij,pj->pi", Tinv[:, :3, :3], Xc) + Tinv[:, :3, 3]
+    in_snap_pt = snap_pt & m.pt_valid
+    new_pts = jnp.where(
+        in_snap_pt[:, None], pts,
+        jnp.where(m.pt_valid[:, None], X_remap, m.pt_pos),
+    )
+    return m._replace(kf_pose=new_pose, pt_pos=new_pts)
 
 
 def _feats_of(m, k):
@@ -494,44 +648,77 @@ def _remap_points_after_graph(m, S_new):
     return m._replace(pt_pos=jnp.where(m.pt_valid[:, None], Xw, m.pt_pos))
 
 
+@functools.partial(jax.jit, static_argnames=("topc",))
+def _essential_edges_kernel(m, loop_a, loop_b, loop_ok, cand, kf_id, S12,
+                            topc: int = 32):
+    """Edge sets of the essential graph as ONE device program
+    (src/Optimizer.cc:851-983): spanning-tree edges, per-KF top-`topc`
+    covisibility edges with weight >= ESSENTIAL_MIN_WEIGHT (the reference
+    takes all such edges; >32 per KF is unseen in practice), previously
+    accepted loop edges (with their CURRENT relative pose, as the
+    reference uses current estimates for all but the new constraint), and
+    the new loop edge with its measured Sim3. Covisibility for all pairs
+    is one chunked MXU matmul (ms.covisibility_matrix); the old host loop
+    of per-KF device calls was O(K) dispatches.
+    """
+    kmax = m.kf_pose.shape[0]
+    poses = m.kf_pose
+    inv_poses = jax.vmap(geo.inv_T)(poses)
+
+    def rel_of(i, j):  # pose[j] @ inv(pose[i]), batched
+        return jnp.einsum("eij,ejl->eil", poses[j], inv_poses[i])
+
+    # spanning tree: (parent, k)
+    st_j = jnp.arange(kmax, dtype=jnp.int32)
+    st_i = jnp.clip(m.kf_parent, 0, kmax - 1)
+    st_ok = (m.kf_parent >= 0) & m.kf_valid
+
+    # strong covisibility, deduped to j > i, minus spanning-tree pairs and
+    # the new loop pair (sInsertedEdges dedup, src/Optimizer.cc:887-930)
+    W = ms.covisibility_matrix(m)
+    upper = jnp.arange(kmax)[None, :] > jnp.arange(kmax)[:, None]
+    is_parent = jnp.zeros((kmax, kmax), bool).at[
+        st_i, st_j
+    ].set(st_ok).at[st_j, st_i].set(st_ok)
+    lo = jnp.minimum(cand, kf_id)
+    hi = jnp.maximum(cand, kf_id)
+    Wm = jnp.where(
+        upper & ~is_parent & (W >= C.ESSENTIAL_MIN_WEIGHT), W, 0
+    )
+    Wm = Wm.at[lo, hi].set(0)
+    topc = min(topc, kmax)
+    vals, idxs = jax.lax.top_k(Wm, topc)            # [K, topc]
+    cv_i = jnp.repeat(jnp.arange(kmax, dtype=jnp.int32), topc)
+    cv_j = idxs.reshape(-1).astype(jnp.int32)
+    cv_ok = (vals.reshape(-1) >= C.ESSENTIAL_MIN_WEIGHT)
+
+    # past loop edges survive forever (Optimizer.cc:902-910)
+    la = jnp.clip(loop_a, 0, kmax - 1)
+    lb = jnp.clip(loop_b, 0, kmax - 1)
+
+    # new loop edge: with S12 mapping cand-camera to cur-camera coords,
+    # the measured relative Sim3 is exactly S_ji = S_cur_w S_cand_w^-1
+    ei = jnp.concatenate([st_i, cv_i, la, cand[None].astype(jnp.int32)])
+    ej = jnp.concatenate([st_j, cv_j, lb, kf_id[None].astype(jnp.int32)])
+    ok = jnp.concatenate([st_ok, cv_ok, loop_ok, jnp.ones(1, bool)])
+    Sji = jnp.concatenate([
+        rel_of(st_i, st_j), rel_of(cv_i, cv_j), rel_of(la, lb), S12[None]
+    ])
+    return ei, ej, Sji, ok
+
+
 def _essential_edges(m, n_kfs, kf_id, cand, S12, past_loop_edges=()):
-    """Edge sets of the essential graph (src/Optimizer.cc:851-983):
-    spanning-tree edges, covisibility edges with weight >= 100, previously
-    accepted loop edges (with their CURRENT relative pose, as the reference
-    uses current estimates for all but the new constraint), and the new
-    loop edge with its measured Sim3."""
-    edges = []
-    poses = np.asarray(m.kf_pose)
-    for k in range(n_kfs):
-        p = int(m.kf_parent[k])
-        if p >= 0:
-            rel = poses[k] @ np.linalg.inv(poses[p])
-            edges.append((p, k, rel))
-    # strong covisibility edges
-    for k in range(n_kfs):
-        w = np.asarray(ms.covisibility_weights(m, jnp.asarray(k)))
-        for j in np.where(w >= C.ESSENTIAL_MIN_WEIGHT)[0]:
-            if j > k:
-                rel = poses[j] @ np.linalg.inv(poses[k])
-                edges.append((k, int(j), rel))
-    # past loop edges survive forever (Optimizer.cc:902-910); their
-    # measurement is the current relative pose between the two KFs
-    for a, b, _ in past_loop_edges:
+    """Host wrapper: pack the surviving loop-edge list to a fixed-width
+    device array and call the one-kernel edge builder."""
+    cap = 64  # static loop-edge capacity (KITTI 00 closes ~3 loops)
+    la = np.zeros(cap, np.int32)
+    lb = np.zeros(cap, np.int32)
+    lok = np.zeros(cap, bool)
+    for i, (a, b, _) in enumerate(list(past_loop_edges)[:cap]):
         if a < n_kfs and b < n_kfs:
-            rel = poses[b] @ np.linalg.inv(poses[a])
-            edges.append((a, b, rel))
-    # loop edge: with S12 mapping cand-camera to cur-camera coords, the
-    # measured relative Sim3 is exactly S_ji = S_cur_w S_cand_w^-1 = S12
-    S12n = np.asarray(S12)
-    edges.append((cand, kf_id, S12n))
-    E = len(edges)
-    # pad to a multiple of 64 so the jitted pose-graph solver doesn't
-    # recompile for every distinct edge count
-    E_pad = -(-E // 64) * 64
-    ei = np.zeros(E_pad, np.int32)
-    ej = np.zeros(E_pad, np.int32)
-    Sji = np.tile(np.eye(4, dtype=np.float32), (E_pad, 1, 1))
-    ok = np.zeros(E_pad, bool)
-    for i, (a, b, rel) in enumerate(edges):
-        ei[i], ej[i], Sji[i], ok[i] = a, b, rel.astype(np.float32), True
-    return jnp.asarray(ei), jnp.asarray(ej), jnp.asarray(Sji), jnp.asarray(ok)
+            la[i], lb[i], lok[i] = a, b, True
+    return _essential_edges_kernel(
+        m, jnp.asarray(la), jnp.asarray(lb), jnp.asarray(lok),
+        jnp.asarray(cand, jnp.int32), jnp.asarray(kf_id, jnp.int32),
+        jnp.asarray(S12, jnp.float32),
+    )

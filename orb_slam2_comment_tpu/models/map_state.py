@@ -87,6 +87,99 @@ def empty_map(max_kfs: int, max_pts: int, n_feat: int) -> MapState:
     )
 
 
+def grow_map(m: MapState, new_kmax: int, new_pmax: int) -> MapState:
+    """Functionally pad a MapState to a larger capacity tier. Every jitted
+    kernel recompiles once at the new shapes (bounded: once per tier —
+    SURVEY.md §7 'Hard parts' capacity bucketing). The reference has no
+    equivalent because its pointer graph grows unboundedly; here growth is
+    an explicit, rare host-side event.
+    """
+    kmax, n_feat = m.kf_obs.shape
+    pmax = m.pt_pos.shape[0]
+    if new_kmax < kmax or new_pmax < pmax:
+        raise ValueError("capacity tiers only grow")
+    if new_kmax == kmax and new_pmax == pmax:
+        return m
+    dk = new_kmax - kmax
+    dp = new_pmax - pmax
+
+    def pad_k(x, fill):
+        pad_shape = (dk,) + x.shape[1:]
+        return jnp.concatenate([x, jnp.full(pad_shape, fill, x.dtype)], axis=0)
+
+    def pad_k_eye(x):  # [K,4,4] identity-padded
+        return jnp.concatenate(
+            [x, jnp.tile(jnp.eye(4, dtype=x.dtype), (dk, 1, 1))], axis=0)
+
+    def pad_p(x, fill):
+        pad_shape = (dp,) + x.shape[1:]
+        return jnp.concatenate([x, jnp.full(pad_shape, fill, x.dtype)], axis=0)
+
+    return MapState(
+        kf_pose=pad_k_eye(m.kf_pose),
+        kf_valid=pad_k(m.kf_valid, False),
+        kf_frame_id=pad_k(m.kf_frame_id, -1),
+        kf_timestamp=pad_k(m.kf_timestamp, 0),
+        kf_xy=pad_k(m.kf_xy, 0),
+        kf_octave=pad_k(m.kf_octave, 0),
+        kf_angle=pad_k(m.kf_angle, 0),
+        kf_uright=pad_k(m.kf_uright, -1.0),
+        kf_depth=pad_k(m.kf_depth, -1.0),
+        kf_desc=pad_k(m.kf_desc, 0),
+        kf_feat_valid=pad_k(m.kf_feat_valid, False),
+        kf_obs=pad_k(m.kf_obs, -1),
+        kf_group=pad_k(m.kf_group, -1),
+        kf_parent=pad_k(m.kf_parent, -1),
+        kf_Tcp=pad_k_eye(m.kf_Tcp),
+        pt_pos=pad_p(m.pt_pos, 0),
+        pt_valid=pad_p(m.pt_valid, False),
+        pt_desc=pad_p(m.pt_desc, 0),
+        pt_normal=pad_p(m.pt_normal, 0),
+        pt_min_dist=pad_p(m.pt_min_dist, 0),
+        pt_max_dist=pad_p(m.pt_max_dist, 1e9),
+        pt_ref_kf=pad_p(m.pt_ref_kf, -1),
+        pt_first_kf=pad_p(m.pt_first_kf, -1),
+        pt_visible=pad_p(m.pt_visible, 0),
+        pt_found=pad_p(m.pt_found, 0),
+    )
+
+
+@jax.jit
+def covisibility_matrix(m: MapState) -> jax.Array:
+    """[Kmax, Kmax] int32 all-pairs shared-observation counts — the full
+    covisibility graph in one shot (the batched equivalent of running
+    KeyFrame::UpdateConnections, src/KeyFrame.cc:289-330, for every KF).
+    Computed as A @ A^T with A the [Kmax, Pmax] observation indicator,
+    chunked over points so the indicator never materializes at full width;
+    each chunk is one MXU matmul.
+    """
+    kmax, n_feat = m.kf_obs.shape
+    pmax = m.pt_pos.shape[0]
+    chunk = min(pmax, 16384)
+    n_chunks = (pmax + chunk - 1) // chunk
+    obs_pt_ok = m.pt_valid[jnp.clip(m.kf_obs, 0, pmax - 1)]  # bad-point skip
+    obs = jnp.where(
+        m.kf_feat_valid & m.kf_valid[:, None] & obs_pt_ok, m.kf_obs, -1)
+
+    def body(c, acc):
+        lo = c * chunk
+        # indicator for points [lo, lo+chunk): A[k, p-lo] = 1 if KF k sees p
+        rel = obs - lo
+        in_chunk = (rel >= 0) & (rel < chunk)
+        A = jnp.zeros((kmax, chunk), jnp.bfloat16).at[
+            jnp.arange(kmax)[:, None], jnp.clip(rel, 0, chunk - 1)
+        ].max(in_chunk.astype(jnp.bfloat16))
+        return acc + jnp.dot(
+            A, A.T, preferred_element_type=jnp.float32
+        )
+
+    W = jax.lax.fori_loop(
+        0, n_chunks, body, jnp.zeros((kmax, kmax), jnp.float32)
+    ).astype(jnp.int32)
+    W = jnp.where(m.kf_valid[:, None] & m.kf_valid[None, :], W, 0)
+    return W * (1 - jnp.eye(kmax, dtype=jnp.int32))
+
+
 @jax.jit
 def covisibility_weights(m: MapState, k: jax.Array) -> jax.Array:
     """Shared-observation counts between keyframe k and every other KF

@@ -72,6 +72,7 @@ class System:
             # bootstrap vocabulary from the first keyframe's descriptors
             self.tracker.new_kf_callbacks.append(self._maybe_bootstrap_vocab)
         self.tracker.new_kf_callbacks.append(self._on_new_kf)
+        self.tracker.grow_callbacks.append(self._on_grow)
 
         self.frame_id = 0
         self.n_loops = 0
@@ -96,6 +97,17 @@ class System:
             print(f"[system] vocabulary group_depth={self.voc.group_depth} "
                   f"!= cfg.voc_levels={self.cfg.voc_levels}; "
                   "BoW tracking gate disabled")
+
+    def _on_grow(self, new_cfg: SlamConfig):
+        """Capacity-tier growth (Tracker._maybe_grow): propagate the new
+        cfg — capacities ride in it as static jit args — to every
+        component, and widen the KF database."""
+        self.cfg = new_cfg
+        self.mapper.cfg = new_cfg
+        if self.loop_closer is not None:
+            self.loop_closer.cfg = new_cfg
+        if self.db is not None:
+            self.db.grow(new_cfg.max_keyframes)
 
     def _maybe_bootstrap_vocab(self, kf_id: int):
         if self.voc is not None:
@@ -134,12 +146,19 @@ class System:
             self.reset()
 
     # -- per-frame entry points (System.cc:116-265) -------------------------
+    def _pump_background(self):
+        # advance any in-flight chunked GBA by one bounded device program
+        # (the reference's concurrent GBA thread, LoopClosing.cc:575-579)
+        if self.loop_closer is not None:
+            self.loop_closer.pump_background()
+
     def track_stereo(self, image_left, image_right, timestamp):
         assert self.cfg.sensor == STEREO
         self._maybe_auto_reset()
         out = self.tracker.track_stereo_arrays(
             self.frame_id, timestamp, image_left, image_right
         )
+        self._pump_background()
         self.frame_id += 1
         return out
 
@@ -149,6 +168,7 @@ class System:
         out = self.tracker.track_rgbd_arrays(
             self.frame_id, timestamp, image, depth_map
         )
+        self._pump_background()
         self.frame_id += 1
         return out
 
@@ -160,6 +180,7 @@ class System:
         # initializer needs more texture.
         self._maybe_auto_reset()
         out = self.tracker.track_mono_arrays(self.frame_id, timestamp, image)
+        self._pump_background()
         self.frame_id += 1
         return out
 
@@ -188,6 +209,8 @@ class System:
         tracking state."""
         cfg = self.cfg
         self.n_resets += 1
+        if self.loop_closer is not None:
+            self.loop_closer.abort_background()
         self.tracker._flush_all()
         self.tracker._io_pool.shutdown(wait=False)  # stop the old pull pool
         self.tracker = Tracker(cfg)
@@ -196,11 +219,16 @@ class System:
         if self.voc is not None:
             self._init_db()
         self.tracker.new_kf_callbacks.append(self._on_new_kf)
+        self.tracker.grow_callbacks.append(self._on_grow)
 
     def shutdown(self):
-        """Drain the async tracking pipeline (the analogue of the
-        reference's thread-join barrier, System::Shutdown,
-        src/System.cc:301-320)."""
+        """Drain the async tracking pipeline and any in-flight background
+        GBA (the analogue of the reference's thread-join barrier,
+        System::Shutdown, src/System.cc:301-320: spins on isFinished &&
+        !isRunningGBA)."""
+        self.tracker._flush_all()
+        if self.loop_closer is not None:
+            self.loop_closer.finish_background()
         self.tracker._flush_all()
 
     # -- state queries (System.cc:282-299, 474-491) --------------------------
@@ -248,6 +276,8 @@ class System:
     # -- trajectory savers (System.cc:322-472) -------------------------------
     def _frame_poses(self):
         self.tracker._flush_all()
+        if self.loop_closer is not None:
+            self.loop_closer.finish_background()
         m = self.tracker.map
         kf_pose = np.asarray(m.kf_pose)
         kf_valid = np.asarray(m.kf_valid)
@@ -278,6 +308,8 @@ class System:
 
     def save_keyframe_trajectory_tum(self, path):
         self.tracker._flush_all()
+        if self.loop_closer is not None:
+            self.loop_closer.finish_background()
         m = self.tracker.map
         valid = np.asarray(m.kf_valid)
         # host-side float64 timestamps (the on-device copy is f32, which
@@ -290,6 +322,8 @@ class System:
     # -- map save/load (real, unlike the reference's TODO) -------------------
     def save_map(self, path):
         self.tracker._flush_all()
+        if self.loop_closer is not None:
+            self.loop_closer.finish_background()
         m = self.tracker.map
         extra = {}
         if self.loop_closer is not None and self.loop_closer.loop_edges:

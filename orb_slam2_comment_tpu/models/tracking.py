@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import collections
 import concurrent.futures
+import dataclasses
 import functools
 from dataclasses import dataclass
 from typing import NamedTuple, Optional
@@ -1029,6 +1030,8 @@ class Tracker:
         self.last_kf_frame_id = -1
         self.last_reloc_frame_id = -(1 << 30)
         self.new_kf_callbacks = []   # local-mapping hook
+        self.grow_callbacks = []     # capacity-tier hook (set by System)
+        self.n_pts_host = 0          # host mirror, refreshed on KF events
         self.reloc_fn = None         # relocalization hook (set by System)
         # BoW node-gate tree (1-node dummy until a vocabulary is wired by
         # System.set_vocabulary_gate; dummy => gate is a no-op)
@@ -1120,6 +1123,7 @@ class Tracker:
         self.ref_kf = ref
         self.n_last_inliers = int(s[S_N_INL])
         kf_slot = int(s[X_KF_SLOT])
+        self.n_pts_host = int(s[X_N_PTS])
         if tracked:
             self.state = OK
             self.last_Tcw = Tcw
@@ -1288,7 +1292,40 @@ class Tracker:
         xy_fut = self._io_pool.submit(np.asarray, feats.xy)
         self._stageA.append((fid, ts, feats, depth_map, xy_fut))
 
+    def _maybe_grow(self):
+        """Grow the map to the next capacity tier when ~85% full (checked
+        against host mirrors only — no device sync in the hot loop; the
+        point mirror is refreshed on every KF event, and points are only
+        created on KF events). Growth drains the pipeline, pads every map
+        array (ms.grow_map), and recompiles the jitted kernels once at the
+        new shapes. cfg is swapped wholesale since capacities ride in it
+        as static args; System propagates the new cfg via grow_callbacks.
+        """
+        cfg = self.cfg
+        if not cfg.grow_capacity:
+            return
+        kmax, pmax = cfg.max_keyframes, cfg.max_points
+        need_k = (self.n_kfs >= int(kmax * 0.85)) and (
+            kmax < cfg.max_keyframes_cap)
+        need_p = (self.n_pts_host >= int(pmax * 0.85)) and (
+            pmax < cfg.max_points_cap)
+        if not (need_k or need_p):
+            return
+        new_k = min(kmax * 4, cfg.max_keyframes_cap) if need_k else kmax
+        new_p = min(pmax * 4, cfg.max_points_cap) if need_p else pmax
+        self._flush_all()
+        self.map = ms.grow_map(self.map, new_k, new_p)
+        self.kf_ts_host = np.concatenate(
+            [self.kf_ts_host, np.zeros(new_k - kmax, np.float64)])
+        self.cfg = dataclasses.replace(
+            cfg, max_keyframes=new_k, max_points=new_p)
+        if self.ds is not None:
+            self.ds = self.ds._replace(obs_counts=_obs_counts_jit(self.map))
+        for cb in self.grow_callbacks:
+            cb(self.cfg)
+
     def track_rgbd_arrays(self, frame_id, ts, image, depth_map):
+        self._maybe_grow()
         self._flush_ready()
         if self._fused_ok():
             # steady state: ONE device program per frame, dispatched one
@@ -1308,6 +1345,7 @@ class Tracker:
         )
 
     def track_stereo_arrays(self, frame_id, ts, image_l, image_r):
+        self._maybe_grow()
         self._flush_ready()
         if self._fused_ok():
             return self._dispatch_fused(
@@ -1323,6 +1361,7 @@ class Tracker:
         )
 
     def track_mono_arrays(self, frame_id, ts, image):
+        self._maybe_grow()
         self._flush_ready()
         if self._fused_ok():
             return self._dispatch_fused(

@@ -335,12 +335,14 @@ def save_orb_vocab_text(path: str, voc: Vocabulary):
     parent_of[flat[ok]] = rows[ok]
     with open(path, "w") as f:
         f.write(f"{voc.k} {voc.depth} 0 0\n")  # k L TF_IDF L1_NORM
-        # node line i corresponds to id i+1; parent ids in the file are in
-        # the same numbering minus one (root = -1 + 1 = id 0)
+        # DBoW2 convention (TemplatedVocabulary::saveToTextFile): file line
+        # i-1 holds node id i; the parent field is the raw node id with
+        # root = 0. Our internal row ids use the same numbering, so parents
+        # are written unshifted.
         for nid in range(1, n):
             is_leaf = int(node_word[nid] >= 0)
             d = " ".join(str(int(v)) for v in node_desc[nid])
-            f.write(f"{parent_of[nid] - 1} {is_leaf} {d} {weights[nid]:.6f}\n")
+            f.write(f"{parent_of[nid]} {is_leaf} {d} {weights[nid]:.6f}\n")
 
 
 def _parse_orb_vocab_py(path: str):
@@ -380,8 +382,10 @@ def load_orb_vocab(path: str, levels_up: int = 4) -> Vocabulary:
         k, L, parents, leaf_flags, descs, weights = _parse_orb_vocab_py(path)
 
     n = len(parents) + 1  # + root
-    # vectorized tree assembly: children of each parent in file order
-    par = np.where(parents >= 0, parents + 1, 0).astype(np.int64)
+    # vectorized tree assembly: children of each parent in file order.
+    # File parent ids are raw DBoW2 node ids (root = 0, line i-1 <-> id i,
+    # TemplatedVocabulary::loadFromTextFile:1389), identical to our row ids.
+    par = np.clip(parents, 0, None).astype(np.int64)
     order = np.argsort(par, kind="stable")
     sorted_par = par[order]
     counts = np.bincount(sorted_par, minlength=n)

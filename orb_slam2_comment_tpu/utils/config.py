@@ -45,9 +45,16 @@ class SlamConfig:
     n_levels: int = C.DEFAULT_N_LEVELS
     ini_th_fast: float = float(C.DEFAULT_INI_TH_FAST)
     min_th_fast: float = float(C.DEFAULT_MIN_TH_FAST)
-    # Static map capacities (TPU fixed shapes)
+    # Static map capacities (TPU fixed shapes). These are the STARTING
+    # tier: with grow_capacity the map grows x4 (to the caps below) when
+    # ~85% full, recompiling the jitted kernels once per tier — bounded
+    # recompilation for KITTI-00-scale trajectories (~1.3k KFs) without
+    # charging small maps large-capacity kernel costs (SURVEY.md §7).
     max_keyframes: int = 256
     max_points: int = 32768
+    grow_capacity: bool = True
+    max_keyframes_cap: int = 2048
+    max_points_cap: int = 262144
     # Pipeline toggles
     enable_local_ba: bool = True
     enable_loop_closing: bool = True
@@ -169,6 +176,9 @@ def load_yaml_settings(path: str, sensor: str) -> SlamConfig:
         n_levels=int(g("ORBextractor.nLevels", 8)),
         ini_th_fast=g("ORBextractor.iniThFAST", 20.0),
         min_th_fast=g("ORBextractor.minThFAST", 7.0),
+        # extension key (not in the reference): Hamming acceptance scaling
+        # for low-texture/synthetic footage, cf. SlamConfig.match_th_scale
+        match_th_scale=g("Matcher.thScale", 1.0),
     )
 
 
