@@ -40,6 +40,9 @@ def main():
         n_levels=8,
         max_keyframes=128,
         max_points=32768,
+        # steady-state throughput at fixed capacity: a mid-bench capacity
+        # growth would charge a one-time tier recompile to the timed loop
+        grow_capacity=False,
         match_th_scale=1.5,
         depth_map_factor=1000.0,  # uint16 depth in mm, as TUM PNGs arrive
     )

@@ -43,9 +43,36 @@ _jax.config.update("jax_default_matmul_precision", "highest")
 # process after the first start in seconds.
 import os as _os  # noqa: E402
 
+# The cache dir is fingerprinted by host CPU features + jaxlib version:
+# XLA:CPU entries are AOT machine code, and loading an executable compiled
+# on a host with different ISA extensions segfaults (observed as 'Fatal
+# Python error' inside compilation_cache.get_executable_and_time when a
+# cache dir migrates across dev machines).
+def _host_fingerprint():
+    import hashlib
+
+    key = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    key = line
+                    break
+    except OSError:
+        pass
+    try:
+        import jaxlib
+
+        key += jaxlib.__version__
+    except Exception:
+        pass
+    return hashlib.md5(key.encode()).hexdigest()[:10]
+
+
 _cache_dir = _os.environ.get(
     "ORB_SLAM2_TPU_JIT_CACHE",
-    _os.path.join(_os.path.expanduser("~"), ".cache", "orb_slam2_tpu_jit"),
+    _os.path.join(_os.path.expanduser("~"), ".cache", "orb_slam2_tpu_jit",
+                  _host_fingerprint()),
 )
 try:  # pragma: no cover - best effort
     _os.makedirs(_cache_dir, exist_ok=True)
