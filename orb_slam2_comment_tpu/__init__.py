@@ -29,6 +29,9 @@ import os as _os0
 # registers the axon TPU backend first; see CLAUDE.md).
 if _os0.environ.get("ORB_SLAM2_TPU_FORCE_CPU", "") not in ("", "0"):
     _jax.config.update("jax_platforms", "cpu")
+    # XLA:CPU executable serialization segfaults on this host; the
+    # persistent cache is for the tunnel-TPU backend only
+    _jax.config.update("jax_enable_compilation_cache", False)
 
 # Geometry/solver math is float32 and relies on exact f32 matmuls (3x3/6x6
 # Lie-group and normal-equation blocks). On TPU the default matmul precision

@@ -80,7 +80,11 @@ class SlamConfig:
     # device->host pull pipeline_lag frame-times to cross the link before
     # the host samples the depth map with it. Raise on high-RTT links
     # (remote-attached TPUs), lower for minimum result latency.
-    pipeline_lag: int = 4
+    # compare=False: host-only scheduling knob, excluded from the
+    # dataclass hash/eq so changing it does NOT recompile the jitted
+    # pipeline (cfg is the static jit key; a lag A/B used to pay ~6 min
+    # of tunnel compiles per value)
+    pipeline_lag: int = field(default=4, compare=False)
     # Hamming acceptance scaling: 1.0 reproduces the reference thresholds
     # (TH_LOW=50/TH_HIGH=100, ORBmatcher.cc:37-38), tuned for real-image
     # ORB stability. Synthetic scenes with noisier descriptors run at

@@ -19,3 +19,20 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# XLA:CPU executable serialization segfaults on this host (observed inside
+# compilation_cache.put_executable_and_time during test_optim); the
+# persistent cache only pays off for the tunnel-TPU backend anyway.
+jax.config.update("jax_enable_compilation_cache", False)
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """XLA:CPU segfaults inside backend_compile once enough programs have
+    accumulated in one process (reproducibly at the same point of a full
+    run, while every module passes in isolation). Dropping the in-process
+    executable caches between modules keeps the compiler healthy at the
+    cost of recompiling shared kernels per module."""
+    yield
+    jax.clear_caches()

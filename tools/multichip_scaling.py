@@ -33,6 +33,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_compilation_cache", False)  # see conftest.py
 
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
