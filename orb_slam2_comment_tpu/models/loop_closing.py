@@ -324,7 +324,8 @@ class LoopCloser:
         cfg = self.cfg
         prob, inv_s2 = _build_gba_problem(m, cfg)
         carry = optim.gba_init_carry(prob, inv_s2, cfg.K, cfg.bf)
-        self._bg = [prob, inv_s2, carry, 0, m.kf_valid, m.pt_valid]
+        # prob.cam_valid/pt_valid are already donation-safe copies
+        self._bg = [prob, inv_s2, carry, 0, prob.cam_valid, prob.pt_valid]
 
     def pump_background(self) -> bool:
         """Advance a pending background GBA by ONE bounded device chunk
@@ -366,9 +367,25 @@ class LoopCloser:
         res = optim.gba_result(prob, inv_s2, cfg.K, cfg.bf, carry)
         trk._flush_all()
         m = trk.map
+        # the map may have GROWN to a larger capacity tier while the GBA
+        # chunks were in flight; pad the snapshot-shaped results up to the
+        # current shapes (new slots: not-in-snapshot -> spanning-tree /
+        # ref-KF catch-up handles them like any mid-GBA creation)
+        kmax = m.kf_pose.shape[0]
+        pmax = m.pt_pos.shape[0]
+        cam_T, pts = res.cam_T, res.pts
+        if cam_T.shape[0] < kmax:
+            pad = kmax - cam_T.shape[0]
+            cam_T = jnp.concatenate(
+                [cam_T, jnp.tile(jnp.eye(4), (pad, 1, 1))])
+            snap_kf = jnp.concatenate([snap_kf, jnp.zeros(pad, bool)])
+        if pts.shape[0] < pmax:
+            pad = pmax - pts.shape[0]
+            pts = jnp.concatenate([pts, jnp.zeros((pad, 3))])
+            snap_pt = jnp.concatenate([snap_pt, jnp.zeros(pad, bool)])
         ref = trk.ref_kf if trk.ref_kf >= 0 else 0
         T_ref_old = np.asarray(m.kf_pose[jnp.asarray(ref)])
-        m = _apply_gba_kernel(m, res.cam_T, res.pts, snap_kf, snap_pt)
+        m = _apply_gba_kernel(m, cam_T, pts, snap_kf, snap_pt)
         trk.map = m
         # carry the tracker's pose across the map jump: keep the pose
         # relative to the reference KF fixed (Tcr * T_ref_new — the same
@@ -512,11 +529,15 @@ def _build_gba_problem(m: ms.MapState, cfg: SlamConfig):
         & m.pt_valid[obs_pt]
     )
     prob = optim.BAProblem(
-        cam_T=m.kf_pose,
+        # copies, not aliases: the snapshot must survive the fused
+        # tracking kernels DONATING (and thus deleting) the live map
+        # buffers while background GBA chunks are in flight (the
+        # donated-buffer rule — see Tracker._sync_ds_from_host)
+        cam_T=jnp.array(m.kf_pose, copy=True),
         cam_fixed=jnp.arange(kmax) == 0,
-        cam_valid=m.kf_valid,
-        pts=m.pt_pos,
-        pt_valid=m.pt_valid,
+        cam_valid=jnp.array(m.kf_valid, copy=True),
+        pts=jnp.array(m.pt_pos, copy=True),
+        pt_valid=jnp.array(m.pt_valid, copy=True),
         obs_cam=jnp.repeat(jnp.arange(kmax, dtype=jnp.int32), n),
         obs_pt=obs_pt,
         obs_uvr=jnp.concatenate(

@@ -22,9 +22,48 @@ def _orbit_system():
         max_keyframes=80,
         max_points=24576,
         match_th_scale=1.5,
-        fused_tracking=False,
+        fused_tracking=False,  # donation safety covered by
+                               # test_snapshot_survives_donated_map below
     )
     return System(cfg)
+
+
+def test_snapshot_survives_donated_map():
+    """Regression: the background-GBA snapshot aliased live map buffers;
+    when the fused tracking kernels (donate_argnums on the map) consumed
+    them, pending chunks crashed with 'Buffer has been deleted'. The
+    snapshot must hold copies (loop_closing._build_gba_problem)."""
+    import jax.numpy as jnp
+
+    from orb_slam2_comment_tpu.models import map_state as ms
+    from orb_slam2_comment_tpu.models.loop_closing import _build_gba_problem
+    from orb_slam2_comment_tpu.ops import optim
+
+    cfg = SlamConfig(sensor="rgbd", max_keyframes=16, max_points=8192,
+                     n_features=64, n_levels=4)
+    m = ms.empty_map(16, 8192, 64)
+    rng = np.random.RandomState(0)
+    obs = np.full((16, 64), -1, np.int64)
+    for k in range(4):
+        obs[k] = np.arange(64) + 16 * k
+    m = m._replace(
+        kf_valid=jnp.asarray(np.arange(16) < 4),
+        kf_obs=jnp.asarray(obs, jnp.int32),
+        kf_feat_valid=jnp.asarray(obs >= 0),
+        kf_xy=jnp.asarray(rng.uniform(0, 400, (16, 64, 2)).astype(np.float32)),
+        pt_valid=jnp.asarray(np.arange(8192) < 16 * 4 + 48),
+        pt_pos=jnp.asarray(
+            rng.uniform(-3, 3, (8192, 3)).astype(np.float32) + [0, 0, 8]),
+    )
+    prob, inv_s2 = _build_gba_problem(m, cfg)
+    carry = optim.gba_init_carry(prob, inv_s2, cfg.K, cfg.bf)
+    # simulate the fused pipeline donating (deleting) the live map buffers
+    for leaf in m:
+        leaf.delete()
+    carry = optim.gba_chunk(prob, inv_s2, carry, jnp.asarray(0, jnp.int32),
+                            cfg.K, cfg.bf, n_iters=1)
+    res = optim.gba_result(prob, inv_s2, cfg.K, cfg.bf, carry)
+    assert np.isfinite(float(res.cost))
 
 
 def test_background_gba_chunks_and_applies():
