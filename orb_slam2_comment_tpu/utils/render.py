@@ -567,6 +567,12 @@ def write_settings_yaml(path: str, K, hw, fps: float, bf: float = 0.0,
         "ORBextractor.nLevels: 8",
         "ORBextractor.iniThFAST: 20",
         "ORBextractor.minThFAST: 7",
+        # extension key, ignored by the reference's cv::FileStorage reads:
+        # this framework's generated (non-learned) rBRIEF pattern needs a
+        # wider Hamming gate than the reference's TH_LOW/TH_HIGH=50/100 —
+        # measured on desk: ATE 29cm at 1.0 vs mm-class at 1.5
+        # (BENCH_ACCURACY.md)
+        "Matcher.thScale: 1.5",
         "", "Viewer.KeyFrameSize: 0.05",
         "Viewer.KeyFrameLineWidth: 1", "Viewer.GraphLineWidth: 0.9",
         "Viewer.PointSize: 2", "Viewer.CameraSize: 0.08",
