@@ -115,8 +115,8 @@ class MonocularInitializer:
         Xn = X[good_idx]
         dist = np.linalg.norm(Xn, axis=1)
         lvl = oct0[good_idx].astype(np.float32)
-        max_dist = dist * cfg.scale_factor ** lvl * cfg.scale_factor
-        min_dist = max_dist / cfg.scale_factor ** cfg.n_levels
+        max_dist = dist * cfg.scale_factor ** lvl
+        min_dist = max_dist / cfg.scale_factor ** (cfg.n_levels - 1)
 
         def pad(a, fill=0.0):
             out = np.full((pmax,) + a.shape[1:], fill, a.dtype)

@@ -90,7 +90,11 @@ class KeyFrameDatabase:
         covisible neighbors, gate by shared words and minScore, accumulate
         scores over top-10 covisibility groups, keep > 0.75*bestAcc."""
         query = self.bow[kf_id]
-        w = np.asarray(ms.covisibility_weights(m, jnp.asarray(kf_id)))
+        # ONE all-pairs covisibility program covers the exclusion row and
+        # every candidate's accumulation group (the old per-candidate
+        # covisibility_weights loop paid a device round-trip per candidate)
+        W = np.asarray(ms.covisibility_matrix(m))
+        w = W[kf_id]
         exclude = w >= C.COVIS_MIN_WEIGHT
         exclude[kf_id] = True
         # culled keyframes (KeyFrame::SetBadFlag -> mpKeyFrameDB->erase)
@@ -101,7 +105,7 @@ class KeyFrameDatabase:
         cand_set = set(int(c) for c in cand)
         acc = []
         for c in cand:
-            cw = np.asarray(ms.covisibility_weights(m, jnp.asarray(int(c))))
+            cw = W[int(c)]
             group = list(np.argsort(-cw)[: C.BOW_COVIS_GROUP])
             group = [g for g in group if cw[g] > 0] + [int(c)]
             acc_score = sum(scores[g] for g in group if g in cand_set)
@@ -137,9 +141,10 @@ class KeyFrameDatabase:
                    if scores[c] > C.BOW_ACC_SCORE_RATIO * best]
             return out[:max_out]
         cand_set = set(int(c) for c in cand)
+        W = np.asarray(ms.covisibility_matrix(m))  # one program, all rows
         acc = []
         for c in cand:
-            cw = np.asarray(ms.covisibility_weights(m, jnp.asarray(int(c))))
+            cw = W[int(c)]
             group = list(np.argsort(-cw)[: C.BOW_COVIS_GROUP])
             group = [g for g in group if cw[g] > 0] + [int(c)]
             acc_score = sum(scores[g] for g in group if g in cand_set)

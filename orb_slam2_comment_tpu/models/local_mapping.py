@@ -265,7 +265,14 @@ def cull_keyframes(m: ms.MapState, kf_id: jax.Array, cfg: SlamConfig) -> ms.MapS
         # (child, candidate) covisibility pair connects first and the
         # child joins the candidate set; children with no covisible
         # candidate fall back to k's parent.
-        children = cull & (m.kf_parent == k)
+        # only LIVE children are re-parented: a culled KF's (parent, Tcp)
+        # pair is frozen forever (KeyFrame::SetBadFlag erases the dead KF
+        # from its parent's children set, src/KeyFrame.cc:544-546), so the
+        # trajectory saver's spanning-tree walk composes Tcp factors that
+        # were actually computed against the stored parent. Re-parenting a
+        # dead child here would skip k's Tcp in the walk and corrupt every
+        # frame whose reference KF is that child (0.5m-class bursts).
+        children = cull & (m.kf_parent == k) & m.kf_valid & (jnp.arange(kmax) != k)
         cand_mask = (jnp.arange(kmax) == pk) & new_valid
         new_parent = m.kf_parent
 
@@ -350,25 +357,75 @@ def triangulate_with_neighbor(
     P2 = Km @ T2[:3]
     uv1 = f1.xy
     uv2 = f2.xy[idx2]
-    Xw = geo.triangulate_linear(P1, P2, uv1, uv2)
+    Xdlt = geo.triangulate_linear(P1, P2, uv1, uv2)
+
+    # parallax of the two view rays THROUGH THE MATCHED PIXELS (the
+    # reference computes it from the bearing vectors xn1/xn2, NOT from the
+    # triangulated point — src/LocalMapping.cc:294-301; using the DLT
+    # output here would hide exactly the degenerate forward-motion
+    # geometry this gate exists to catch)
+    ray1 = (T1[:3, :3].T @ jnp.stack(
+        [(uv1[:, 0] - cx) / fx, (uv1[:, 1] - cy) / fy,
+         jnp.ones_like(uv1[:, 0])], axis=0)).T
+    ray2 = (T2[:3, :3].T @ jnp.stack(
+        [(uv2[:, 0] - cx) / fx, (uv2[:, 1] - cy) / fy,
+         jnp.ones_like(uv2[:, 0])], axis=0)).T
+    cos_rays = jnp.sum(ray1 * ray2, -1) / jnp.maximum(
+        jnp.linalg.norm(ray1, axis=-1) * jnp.linalg.norm(ray2, axis=-1), 1e-9
+    )
+
+    # stereo parallax per observation: cos(2*atan2(b/2, depth))
+    # (src/LocalMapping.cc:303-310). For a forward-moving stereo/RGB-D rig
+    # the inter-KF rays are near-parallel (DLT is degenerate along the
+    # ray); the reference then takes the STEREO UNPROJECTION of whichever
+    # KF measures the point with more stereo parallax instead.
+    b = cfg.baseline
+    z1 = m.kf_depth[kf1]
+    z2 = m.kf_depth[kf2][idx2]
+    st1 = (m.kf_uright[kf1] >= 0) & (z1 > 0)
+    st2 = (m.kf_uright[kf2][idx2] >= 0) & (z2 > 0)
+    cos_st1 = jnp.where(
+        st1, jnp.cos(2.0 * jnp.arctan2(b / 2.0, jnp.maximum(z1, 1e-6))), 2.0)
+    cos_st2 = jnp.where(
+        st2, jnp.cos(2.0 * jnp.arctan2(b / 2.0, jnp.maximum(z2, 1e-6))), 2.0)
+    cos_stereo = jnp.minimum(cos_st1, cos_st2)
+
+    use_dlt = (
+        (cos_rays < cos_stereo)
+        & (cos_rays > 0)
+        & (st1 | st2 | (cos_rays < 0.9998))
+    )
+    X1s = geo.transform_points(geo.inv_T(T1), geo.backproject(cfg.K, uv1, z1))
+    X2s = geo.transform_points(geo.inv_T(T2), geo.backproject(cfg.K, uv2, z2))
+    use_s1 = (~use_dlt) & st1 & (cos_st1 < cos_st2)
+    use_s2 = (~use_dlt) & st2 & ~use_s1
+    Xw = jnp.where(use_dlt[:, None], Xdlt,
+                   jnp.where(use_s1[:, None], X1s, X2s))
+    ok = ok & (use_dlt | use_s1 | use_s2)
 
     # cheirality
     Xc1 = geo.transform_points(T1, Xw)
     Xc2 = geo.transform_points(T2, Xw)
     ok = ok & (Xc1[:, 2] > 0) & (Xc2[:, 2] > 0)
-    # parallax (rays from both centers, cos < 0.9998)
     r1 = Xw - c1
     r2 = Xw - c2
-    cos_par = jnp.sum(r1 * r2, -1) / jnp.maximum(
-        jnp.linalg.norm(r1, axis=-1) * jnp.linalg.norm(r2, axis=-1), 1e-9
-    )
-    ok = ok & (cos_par < 0.9998) & (cos_par > 0)
-    # reprojection chi2 in both views (5.991 * sigma2)
-    e1 = uv1 - geo.project(cfg.K, Xc1)
-    e2 = uv2 - geo.project(cfg.K, Xc2)
+    # reprojection chi2 in both views; stereo observations use the 3-term
+    # (u, v, uR) residual at 7.815 (src/LocalMapping.cc:398-440)
     s1 = sigma2[jnp.clip(f1.octave, 0, cfg.n_levels - 1)]
     s2 = sigma2[jnp.clip(f2.octave[idx2], 0, cfg.n_levels - 1)]
-    ok = ok & (jnp.sum(e1 * e1, -1) < 5.991 * s1) & (jnp.sum(e2 * e2, -1) < 5.991 * s2)
+    p1 = geo.project(cfg.K, Xc1)
+    p2 = geo.project(cfg.K, Xc2)
+    e1 = uv1 - p1
+    e2 = uv2 - p2
+    ur1 = m.kf_uright[kf1]
+    ur2 = m.kf_uright[kf2][idx2]
+    eur1 = ur1 - (p1[:, 0] - cfg.bf / jnp.maximum(Xc1[:, 2], 1e-6))
+    eur2 = ur2 - (p2[:, 0] - cfg.bf / jnp.maximum(Xc2[:, 2], 1e-6))
+    chi1 = jnp.sum(e1 * e1, -1) + jnp.where(st1, eur1 * eur1, 0.0)
+    chi2_ = jnp.sum(e2 * e2, -1) + jnp.where(st2, eur2 * eur2, 0.0)
+    th1 = jnp.where(st1, 7.8, 5.991)
+    th2 = jnp.where(st2, 7.8, 5.991)
+    ok = ok & (chi1 < th1 * s1) & (chi2_ < th2 * s2)
     # scale consistency (src/LocalMapping.cc:414-426)
     d1 = jnp.linalg.norm(r1, axis=-1)
     d2 = jnp.linalg.norm(r2, axis=-1)
@@ -395,8 +452,13 @@ def triangulate_with_neighbor(
     dist = jnp.linalg.norm(vec, axis=-1)
     normal = vec / jnp.maximum(dist[:, None], 1e-9)
     lvl = f1.octave[feat1].astype(jnp.float32)
-    max_dist = dist * (cfg.scale_factor ** lvl) * cfg.scale_factor
-    min_dist = max_dist / (cfg.scale_factor ** cfg.n_levels)
+    max_dist = dist * (cfg.scale_factor ** lvl)
+    # mfMaxDistance = dist*levelScaleFactor; mfMinDistance = mfMaxDistance /
+    # scaleFactor^(nLevels-1) (MapPoint::UpdateNormalAndDepth,
+    # src/MapPoint.cc:355-360). Stored UNMARGINED: the 0.8/1.2 invariance
+    # margins (MapPoint.cc:373-383) are applied at query time by the
+    # frustum/fuse band checks.
+    min_dist = max_dist / (cfg.scale_factor ** (cfg.n_levels - 1))
 
     def put(arr, vals):
         return arr.at[nid].set(jnp.where(take.reshape(take.shape + (1,) * (vals.ndim - 1)), vals, arr[nid]))
@@ -599,6 +661,19 @@ def build_ba_window(m: ms.MapState, kf_id: jax.Array, cfg: SlamConfig):
         sel[jnp.clip(m.kf_obs, 0, pmax - 1)] & (m.kf_obs >= 0), axis=1
     )
     fixed_cand = observes_sel & m.kf_valid & ~is_free
+    # Gauge anchor: when NO out-of-window camera observes a selected point
+    # (aggressive KF culling can leave every alive KF covisible-free, e.g.
+    # street forward motion), the window is a free-floating SfM problem
+    # with near-null deformation modes — one accepted LM step along such a
+    # mode bent the whole recent map by meters (r3 street kf20: robust
+    # cost 19942->782 while inliers fell 19582->217). Pin the OLDEST free
+    # camera as fixed, the local analogue of GBA's fixed KF0
+    # (src/Optimizer.cc:98,510).
+    no_anchor = ~jnp.any(fixed_cand)
+    oldest_free = jnp.argmin(jnp.where(is_free, jnp.arange(kmax), kmax))
+    pin = no_anchor & (jnp.sum(is_free) >= 2)
+    is_free = is_free & ~(pin & (jnp.arange(kmax) == oldest_free))
+    fixed_cand = observes_sel & m.kf_valid & ~is_free
     fv, fixed_ids = jax.lax.top_k(fixed_cand.astype(jnp.int32), NC_FIXED)
     fixed_ids = jnp.where(fv > 0, fixed_ids, -1)
 
@@ -706,7 +781,7 @@ def _mapper_kernel(m: ms.MapState, kf_id: jax.Array, pt_base: jax.Array,
     m, _ = jax.lax.scan(fuse_body, m, jnp.arange(n_fuse))
 
     m = update_point_descriptors(m)
-    m = ms.update_point_stats(m)
+    m = ms.update_point_stats(m, cfg.scale_factor, cfg.n_levels)
 
     if cfg.enable_local_ba:
         prob, cam_ids, pt_ids = build_ba_window(m, kf_id, cfg)

@@ -34,6 +34,12 @@ from orb_slam2_comment_tpu.ops import matching, optim, ransac
 from orb_slam2_comment_tpu.utils.config import MONOCULAR, SlamConfig
 
 
+def _loop_dbg(msg):
+    import os
+    if os.environ.get("LOOP_DEBUG", "") not in ("", "0"):
+        print(msg, flush=True)
+
+
 @dataclass
 class LoopCloser:
     cfg: SlamConfig
@@ -60,11 +66,17 @@ class LoopCloser:
             return False
         if kf_id - self.last_loop_kf < C.LOOP_MIN_KFS_GAP:
             return False
-        cand = self._detect_loop(kf_id)
-        if cand is None:
+        cands = self._detect_loop(kf_id)
+        if not cands:
             return False
-        ok, S_cur_cand = self._compute_sim3(kf_id, cand)
-        if not ok:
+        # the reference tries EVERY enough-consistent candidate with its
+        # own Sim3 solver and takes the first that survives
+        # (mvpEnoughConsistentCandidates, src/LoopClosing.cc:231-350)
+        for cand in cands:
+            ok, S_cur_cand = self._compute_sim3(kf_id, cand)
+            if ok:
+                break
+        else:
             return False
         self._correct_loop(kf_id, cand, S_cur_cand)
         self.last_loop_kf = kf_id
@@ -74,6 +86,8 @@ class LoopCloser:
     # ------------------------------------------------------------------
     def _detect_loop(self, kf_id: int):
         """DetectLoop (src/LoopClosing.cc:103-229)."""
+        import os
+        dbg = os.environ.get("LOOP_DEBUG", "") not in ("", "0")
         m = self.tracker.map
         w = np.asarray(ms.covisibility_weights(m, jnp.asarray(kf_id)))
         nbrs = np.where(w >= C.COVIS_MIN_WEIGHT)[0]
@@ -84,12 +98,15 @@ class LoopCloser:
         min_score = max(min(scores), 0.0)
         candidates = self.db.detect_loop_candidates(m, kf_id, min_score)
         if not candidates:
+            if dbg:
+                print(f"[loop] kf={kf_id} minScore={min_score:.3f} "
+                      f"candidates=0", flush=True)
             self.consistent_groups = []
             return None
         # covisibility-consistency across 3 detections (mnCovisibility-
         # ConsistencyTh=3, src/LoopClosing.cc:152-211)
         new_groups = []
-        enough = None
+        enough = []
         prev = self.consistent_groups
         for c in candidates:
             cw = np.asarray(ms.covisibility_weights(m, jnp.asarray(int(c))))
@@ -99,9 +116,13 @@ class LoopCloser:
                 if group & pg:
                     count = max(count, pc + 1)
             new_groups.append((group, count))
-            if count >= C.LOOP_CONSISTENCY_TH and enough is None:
-                enough = int(c)
+            if count >= C.LOOP_CONSISTENCY_TH:
+                enough.append(int(c))
         self.consistent_groups = new_groups
+        if dbg:
+            print(f"[loop] kf={kf_id} minScore={min_score:.3f} "
+                  f"cands={candidates} consistency="
+                  f"{[c for _, c in new_groups]} -> {enough}", flush=True)
         return enough
 
     # ------------------------------------------------------------------
@@ -117,15 +138,29 @@ class LoopCloser:
         # same-node candidates — necessary on repetitive scenes.
         obs2 = m.kf_obs[k2]
         ok2 = m.kf_feat_valid[k2] & (obs2 >= 0)
-        res = matching.match_nodes(
-            desc_a=m.kf_desc[k1],
-            nodes_a=self.db.groups[kf_id],
-            valid_a=m.kf_feat_valid[k1] & (m.kf_obs[k1] >= 0),
-            feats_b=_feats_of(m, k2),
-            nodes_b=self.db.groups[cand],
+        ok1 = m.kf_feat_valid[k1] & (m.kf_obs[k1] >= 0)
+        # Correspondences across the loop gap: full mutual-best Hamming
+        # with ratio + rotation-consistency gates. The reference scopes
+        # this search to shared FeatureVector nodes (SearchByBoW,
+        # src/ORBmatcher.cc:522) as a CPU pruning trick; on TPU the dense
+        # Hamming matrix is ONE MXU matmul, and node-equality gating
+        # proved brittle across large viewpoint gaps on the trained
+        # vocabulary (true loop pairs matched <20 of ~600 features, so
+        # Sim3 never fired). Mutual-best replaces the node scoping as the
+        # precision gate.
+        dist = matching.hamming_from_packed(m.kf_desc[k1], m.kf_desc[k2])
+        res = matching.match_generic(
+            dist,
+            ok1[:, None] & ok2[None, :],
             max_dist=cfg.th_low,
-            nn_ratio=0.75,
+            # 0.9 rather than the reference's 0.75: without node scoping
+            # the second-best over ALL features is far more competitive on
+            # repetitive texture; mutual-best + rotation + RANSAC carry
+            # the precision (true-revisit A/B: 0.75 -> 15 pairs, 0.9 -> 31)
+            nn_ratio=0.9,
+            mutual=True,
             angles_a=m.kf_angle[k1],
+            angles_b=m.kf_angle[k2],
         )
         # correspondences: feature i of kf1 (point p1) <-> feature res.idx[i]
         # of kf2 (point p2)
@@ -138,7 +173,13 @@ class LoopCloser:
             & m.pt_valid[jnp.clip(p1, 0, pmax - 1)]
             & m.pt_valid[jnp.clip(p2, 0, pmax - 1)]
         )
-        if int(jnp.sum(pair_ok)) < C.LOOP_MIN_MATCHES_BOW:
+        n_bow = int(jnp.sum(pair_ok))
+        if n_bow < C.LOOP_MIN_MATCHES_BOW:
+            n1 = int(jnp.sum(m.kf_feat_valid[k1] & (m.kf_obs[k1] >= 0)))
+            n2 = int(jnp.sum(ok2))
+            _loop_dbg(f"[loop] sim3 kf={kf_id}<->{cand}: bow pairs {n_bow} "
+                      f"< {C.LOOP_MIN_MATCHES_BOW} (kf obs {n1}/{n2}, "
+                      f"raw matches {int(jnp.sum(res.ok))})")
             return False, None
         X1w = m.pt_pos[jnp.clip(p1, 0, pmax - 1)]
         X2w = m.pt_pos[jnp.clip(p2, 0, pmax - 1)]
@@ -159,6 +200,7 @@ class LoopCloser:
             fix_scale=fix_scale,
         )
         if not bool(rres.ok):
+            _loop_dbg(f"[loop] sim3 kf={kf_id}<->{cand}: RANSAC failed ({n_bow} pairs)")
             return False, None
         # SearchBySim3 (src/ORBmatcher.cc:1102, called at LoopClosing.cc:323):
         # widen the correspondence set by mutual projection agreement under
@@ -190,6 +232,7 @@ class LoopCloser:
             cfg.K, cfg.K, fix_scale=fix_scale,
         )
         if int(ores.n_inliers) < C.LOOP_MIN_INLIERS_SIM3:
+            _loop_dbg(f"[loop] sim3 kf={kf_id}<->{cand}: opt inliers {int(ores.n_inliers)} < {C.LOOP_MIN_INLIERS_SIM3}")
             return False, None
         # final acceptance (LoopClosing.cc:352-398): project the loop
         # neighborhood's points into the current KF under the corrected
@@ -200,6 +243,7 @@ class LoopCloser:
             )
         )
         if n_total < C.LOOP_MIN_TOTAL_MATCHES:
+            _loop_dbg(f"[loop] sim3 kf={kf_id}<->{cand}: total matches {n_total} < {C.LOOP_MIN_TOTAL_MATCHES}")
             return False, None
         return True, ores.S12
 
@@ -254,6 +298,9 @@ class LoopCloser:
         lp = np.unique(obs[obs >= 0])
         lp = lp[pt_valid_np[lp]]
         cap = 4096
+        if len(lp) > cap:
+            print(f"[loop_closing] WARNING: loop neighborhood has {len(lp)} "
+                  f"points; fusing only the first {cap} into corrected KFs")
         lp_vec = np.full(cap, -1, np.int64)
         lp_vec[: min(len(lp), cap)] = lp[:cap]
         lp_dev = jnp.asarray(lp_vec, jnp.int32)
@@ -266,7 +313,8 @@ class LoopCloser:
         # essential graph: spanning tree + strong covis + the new loop edge
         # + every previously accepted loop edge (src/Optimizer.cc:902-910)
         ei, ej, Sji, valid_edges = _essential_edges(
-            m, trk.n_kfs, kf_id, cand, S12, self.loop_edges
+            m, trk.n_kfs, kf_id, cand, S12, self.loop_edges,
+            topc=cfg.essential_topc,
         )
         self.loop_edges.append((cand, kf_id, np.asarray(S12)))
         # dense [7K,7K] Cholesky wins below a few hundred KFs; past that
@@ -707,11 +755,23 @@ def _essential_edges_kernel(m, loop_a, loop_b, loop_ok, cand, kf_id, S12,
         upper & ~is_parent & (W >= C.ESSENTIAL_MIN_WEIGHT), W, 0
     )
     Wm = Wm.at[lo, hi].set(0)
+    # past loop-edge pairs are inserted explicitly below — zero them out of
+    # the covisibility candidates too, or they'd be double-counted (the
+    # reference dedups every inserted edge via sInsertedEdges,
+    # src/Optimizer.cc:887-930). Invalid slots are clipped to (0,0), a
+    # diagonal entry that `upper` already zeroed.
+    la_ = jnp.clip(loop_a, 0, kmax - 1)
+    lb_ = jnp.clip(loop_b, 0, kmax - 1)
+    Wm = Wm.at[jnp.minimum(la_, lb_), jnp.maximum(la_, lb_)].set(0.0)
     topc = min(topc, kmax)
     vals, idxs = jax.lax.top_k(Wm, topc)            # [K, topc]
     cv_i = jnp.repeat(jnp.arange(kmax, dtype=jnp.int32), topc)
     cv_j = idxs.reshape(-1).astype(jnp.int32)
     cv_ok = (vals.reshape(-1) >= C.ESSENTIAL_MIN_WEIGHT)
+    # saturation diagnostic: KFs whose topc-th candidate still qualifies
+    # had covisibility edges silently dropped (the reference takes ALL
+    # edges with weight >= 100, src/Optimizer.cc:917)
+    n_saturated = jnp.sum(vals[:, topc - 1] >= C.ESSENTIAL_MIN_WEIGHT)
 
     # past loop edges survive forever (Optimizer.cc:902-910)
     la = jnp.clip(loop_a, 0, kmax - 1)
@@ -725,21 +785,37 @@ def _essential_edges_kernel(m, loop_a, loop_b, loop_ok, cand, kf_id, S12,
     Sji = jnp.concatenate([
         rel_of(st_i, st_j), rel_of(cv_i, cv_j), rel_of(la, lb), S12[None]
     ])
-    return ei, ej, Sji, ok
+    return ei, ej, Sji, ok, n_saturated
 
 
-def _essential_edges(m, n_kfs, kf_id, cand, S12, past_loop_edges=()):
+def _essential_edges(m, n_kfs, kf_id, cand, S12, past_loop_edges=(),
+                     topc: int = 32):
     """Host wrapper: pack the surviving loop-edge list to a fixed-width
-    device array and call the one-kernel edge builder."""
+    device array and call the one-kernel edge builder. Logs every silent
+    truncation (SURVEY §7 "no silent caps")."""
     cap = 64  # static loop-edge capacity (KITTI 00 closes ~3 loops)
+    edges = list(past_loop_edges)
+    if len(edges) > cap:
+        print(f"[loop_closing] WARNING: {len(edges)} accepted loop edges "
+              f"exceed the essential-graph capacity {cap}; the oldest "
+              f"{len(edges) - cap} constraints are dropped from this and "
+              "future optimizations")
+        edges = edges[-cap:]   # keep the most recent constraints
     la = np.zeros(cap, np.int32)
     lb = np.zeros(cap, np.int32)
     lok = np.zeros(cap, bool)
-    for i, (a, b, _) in enumerate(list(past_loop_edges)[:cap]):
+    for i, (a, b, _) in enumerate(edges):
         if a < n_kfs and b < n_kfs:
             la[i], lb[i], lok[i] = a, b, True
-    return _essential_edges_kernel(
+    ei, ej, Sji, ok, n_sat = _essential_edges_kernel(
         m, jnp.asarray(la), jnp.asarray(lb), jnp.asarray(lok),
         jnp.asarray(cand, jnp.int32), jnp.asarray(kf_id, jnp.int32),
-        jnp.asarray(S12, jnp.float32),
+        jnp.asarray(S12, jnp.float32), topc=topc,
     )
+    n_sat = int(n_sat)
+    if n_sat:
+        print(f"[loop_closing] WARNING: covisibility edges truncated at "
+              f"top-{topc} for {n_sat} keyframes (qualifying edges dropped; "
+              "raise cfg.essential_topc — reference takes all >=100-weight "
+              "edges, src/Optimizer.cc:917)")
+    return ei, ej, Sji, ok

@@ -208,13 +208,17 @@ def point_observation_counts(m: MapState) -> jax.Array:
     )
 
 
-@jax.jit
-def update_point_stats(m: MapState) -> MapState:
+@functools.partial(jax.jit, static_argnames=("scale_factor", "n_levels"))
+def update_point_stats(m: MapState, scale_factor: float = 1.2,
+                       n_levels: int = 8) -> MapState:
     """Refresh normals and scale bands for all valid points from their
     current observations — batched MapPoint::UpdateNormalAndDepth
     (src/MapPoint.cc:330-371). Representative descriptors are refreshed
     separately by local_mapping.update_point_descriptors (the min-median
     ComputeDistinctiveDescriptors equivalent, src/MapPoint.cc:242-307).
+
+    scale_factor/n_levels mirror the extractor pyramid (mfLevelScaleFactor
+    and mnScaleLevels in MapPoint.cc:355-358); callers pass the cfg values.
     """
     Kmax, N = m.kf_obs.shape
     pmax = m.pt_pos.shape[0]
@@ -246,15 +250,15 @@ def update_point_stats(m: MapState) -> MapState:
     slot = jnp.argmax(slot_match, axis=1)
     has_slot = jnp.any(slot_match, axis=1)
     octv = jnp.where(has_slot, m.kf_octave[ref, slot], 0)
-    scale = 1.2 ** octv.astype(jnp.float32)
+    sf = float(scale_factor)
+    scale = sf ** octv.astype(jnp.float32)
     max_dist = ref_dist * scale
-    n_levels = 8.0
-    min_dist = max_dist / (1.2 ** (n_levels - 1.0))
+    min_dist = max_dist / (sf ** (float(n_levels) - 1.0))
 
     return m._replace(
         pt_normal=jnp.where(m.pt_valid[:, None], normal, m.pt_normal),
-        pt_max_dist=jnp.where(m.pt_valid & has_slot, max_dist * 1.2, m.pt_max_dist),
-        pt_min_dist=jnp.where(m.pt_valid & has_slot, min_dist / 1.2, m.pt_min_dist),
+        pt_max_dist=jnp.where(m.pt_valid & has_slot, max_dist * sf, m.pt_max_dist),
+        pt_min_dist=jnp.where(m.pt_valid & has_slot, min_dist / sf, m.pt_min_dist),
     )
 
 

@@ -322,8 +322,13 @@ def _create_kf_core(
     dist = jnp.linalg.norm(vec, axis=-1)
     normal = vec / jnp.maximum(dist[:, None], 1e-9)
     lvl = feats.octave[feat_idx].astype(jnp.float32)
-    max_dist = dist * (cfg.scale_factor ** lvl) * cfg.scale_factor
-    min_dist = max_dist / (cfg.scale_factor ** cfg.n_levels)
+    max_dist = dist * (cfg.scale_factor ** lvl)
+    # mfMaxDistance = dist*levelScaleFactor; mfMinDistance = mfMaxDistance /
+    # scaleFactor^(nLevels-1) (MapPoint::UpdateNormalAndDepth,
+    # src/MapPoint.cc:355-360). Stored UNMARGINED: the 0.8/1.2 invariance
+    # margins (MapPoint.cc:373-383) are applied at query time by the
+    # frustum/fuse band checks.
+    min_dist = max_dist / (cfg.scale_factor ** (cfg.n_levels - 1))
 
     m = m._replace(
         pt_pos=m.pt_pos.at[new_ids_c].set(jnp.where(take[:, None], Xw, m.pt_pos[new_ids_c])),

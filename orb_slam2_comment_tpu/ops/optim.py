@@ -293,10 +293,11 @@ def local_bundle_adjustment(
             chi2,
             2.0 * delta * jnp.sqrt(jnp.maximum(chi2, 1e-12)) - d2,
         )
-        return jnp.sum(jnp.where(robust, rho, chi2))
+        n_in = jnp.sum(obs_ok & (chi2 <= chi2_th))
+        return jnp.sum(jnp.where(robust, rho, chi2)), n_in
 
     def lm_step(carry, robust):
-        cam_T, pts, lam, cost, obs_ok = carry
+        cam_T, pts, lam, cost, n_in, obs_ok = carry
         r, Jc, Jp, w, _, _ = assemble(cam_T, pts, obs_ok, robust)
         # block assembly
         JcW = Jc * w[:, :, None]                      # [O, 3, 6]
@@ -348,22 +349,35 @@ def local_bundle_adjustment(
         cam_T_new = jax.vmap(lambda d, T: geo.se3_exp(d) @ T)(dc, cam_T)
         cam_T_new = jnp.where(cam_free[:, None, None], cam_T_new, cam_T)
         pts_new = jnp.where(prob.pt_valid[:, None], pts + dp, pts)
-        new_cost = cost_of(cam_T_new, pts_new, obs_ok, robust)
-        accept = new_cost < cost
+        new_cost, new_n_in = cost_of(cam_T_new, pts_new, obs_ok, robust)
+        # Acceptance requires BOTH a cost decrease and a surviving inlier
+        # set. Huber saturation makes "fit a tiny subset perfectly, push
+        # everything else into the linear tail" a LOWER robust cost than
+        # the honest fit, so a single huge step along a weakly-constrained
+        # mode can bend the whole window (street r3: cost 19942->782 with
+        # inliers 19582->217). g2o never encounters this because its
+        # windows are anchored; the fixed-shape window here guards
+        # explicitly: a step may not destroy more than 40% of the current
+        # chi2-inliers.
+        accept = (new_cost < cost) & (
+            new_n_in.astype(jnp.float32)
+            >= 0.6 * n_in.astype(jnp.float32)
+        )
         cam_T = jnp.where(accept, cam_T_new, cam_T)
         pts = jnp.where(accept, pts_new, pts)
         lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-9), jnp.minimum(lam * 4.0, 1e6))
         cost = jnp.where(accept, new_cost, cost)
-        return (cam_T, pts, lam, cost, obs_ok)
+        n_in = jnp.where(accept, new_n_in, n_in)
+        return (cam_T, pts, lam, cost, n_in, obs_ok)
 
     # SO(3) projection of inputs/outputs (see pose_optimize): 15 LM steps of
     # exp(d) @ T per window, windows chained over the whole run
     cam_T, pts = geo.orthonormalize_T(prob.cam_T), prob.pts
     obs_ok = prob.obs_valid
-    cost0 = cost_of(cam_T, pts, obs_ok, True)
-    carry = (cam_T, pts, jnp.asarray(1e-4), cost0, obs_ok)
+    cost0, n_in0 = cost_of(cam_T, pts, obs_ok, True)
+    carry = (cam_T, pts, jnp.asarray(1e-4), cost0, n_in0, obs_ok)
     carry = jax.lax.fori_loop(0, iters1, lambda i, c: lm_step(c, True), carry)
-    cam_T, pts, lam, cost, obs_ok = carry
+    cam_T, pts, lam, cost, _, obs_ok = carry
 
     # mid-schedule prune (src/Optimizer.cc:655-700)
     T_o, X_o = cam_T[prob.obs_cam], pts[prob.obs_pt]
@@ -376,10 +390,10 @@ def local_bundle_adjustment(
     chi2 = _edge_chi2(r, inv_s2, comp)
     obs_ok = prob.obs_valid & (chi2 <= chi2_th) & (depth > 0)
 
-    cost1 = cost_of(cam_T, pts, obs_ok, False)
-    carry = (cam_T, pts, jnp.asarray(1e-4), cost1, obs_ok)
+    cost1, n_in1 = cost_of(cam_T, pts, obs_ok, False)
+    carry = (cam_T, pts, jnp.asarray(1e-4), cost1, n_in1, obs_ok)
     carry = jax.lax.fori_loop(0, iters2, lambda i, c: lm_step(c, False), carry)
-    cam_T, pts, lam, cost, obs_ok = carry
+    cam_T, pts, lam, cost, _, obs_ok = carry
 
     # final classification for observation erasure (src/Optimizer.cc:711-757)
     T_o, X_o = cam_T[prob.obs_cam], pts[prob.obs_pt]

@@ -52,7 +52,7 @@ class SlamConfig:
     # charging small maps large-capacity kernel costs (SURVEY.md §7).
     max_keyframes: int = 256
     max_points: int = 32768
-    grow_capacity: bool = True
+    grow_capacity: bool = field(default=True, compare=False)  # host-only
     max_keyframes_cap: int = 2048
     max_points_cap: int = 262144
     # Local-mapping window capacities (static shapes; VERDICT r1 weak #2).
@@ -65,16 +65,25 @@ class SlamConfig:
     ba_points: int = 2048
     tri_neighbors: int = 10
     fuse_neighbors: int = 10
-    # Pipeline toggles
+    # Essential-graph covisibility edges kept per KF (the reference takes
+    # ALL edges with weight >= 100, src/Optimizer.cc:917; the fixed-shape
+    # top-k is the TPU equivalent — a saturation warning is logged when
+    # the cap drops qualifying edges)
+    essential_topc: int = 32
+    # Pipeline toggles. enable_local_ba / enable_kf_culling / fps /
+    # localization_only are read inside jitted programs (static cfg key);
+    # the compare=False fields below are HOST-ONLY dispatch knobs, excluded
+    # from the dataclass hash so flipping them never recompiles the
+    # pipeline (device-static vs host config split, BASELINE.md r2 queue).
     enable_local_ba: bool = True
-    enable_loop_closing: bool = True
+    enable_loop_closing: bool = field(default=True, compare=False)
     enable_kf_culling: bool = True
     localization_only: bool = False
     # Tracking execution mode: True = single fused device program with one
     # host sync per frame (fast on remote-attached TPUs); False = the
     # reference's staged fallback ladder with host branch decisions
     # (several syncs per frame, slightly more robust margins).
-    fused_tracking: bool = True
+    fused_tracking: bool = field(default=True, compare=False)
     # Stage-A depth of the fused RGB-D pipeline: frame i's tracking stage
     # dispatches when frame i+pipeline_lag arrives, giving the keypoint-xy
     # device->host pull pipeline_lag frame-times to cross the link before

@@ -98,12 +98,81 @@ class TestKeyFrameCulling:
         assert valid[0] and valid[4]          # origin + current survive
         assert not valid[1] and not valid[2]  # redundant -> culled
         assert valid[3]                       # observers fell below 3
-        # children re-parented to the culled KF's parent
-        assert int(m2.kf_parent[2]) == 0
-        assert int(m2.kf_parent[3]) == 0
-        # frozen Tcp reconstructs the culled KF's pose from its parent
-        T1 = np.asarray(m2.kf_Tcp[1]) @ np.asarray(m2.kf_pose[0])
-        np.testing.assert_allclose(T1, poses[1], atol=1e-5)
+        # surviving KF 3 re-parented off the dead chain to a live ancestor
+        assert valid[int(m2.kf_parent[3])]
+        # the trajectory-saver walk (System.cc:350-360) reconstructs every
+        # culled KF's pose exactly: compose frozen Tcp factors up the tree
+        # to the first live ancestor (poses unchanged since cull here)
+        parent = np.asarray(m2.kf_parent)
+        Tcp = np.asarray(m2.kf_Tcp)
+        pose = np.asarray(m2.kf_pose)
+        for c in (1, 2):
+            T = np.eye(4)
+            r = c
+            while r >= 0 and not valid[r]:
+                T = T @ Tcp[r]
+                r = parent[r]
+            assert r >= 0
+            np.testing.assert_allclose(T @ pose[r], poses[c], atol=1e-5)
+
+    def test_dead_child_keeps_frozen_parent(self):
+        """Regression (round-3 desk 0.29m ATE bursts): a KF culled EARLIER
+        whose frozen parent is culled NOW must NOT be re-parented — its
+        frozen Tcp was computed against that parent, and re-pointing it
+        skips the parent's Tcp factor in the trajectory-saver walk. The
+        reference freezes (mTcp, mpParent) forever at SetBadFlag
+        (src/KeyFrame.cc:453-546)."""
+        cfg = _cfg()
+        m = ms.empty_map(8, 64, 64)
+        npt = 60
+        nkf = 6
+        poses = []
+        kf_pose = m.kf_pose
+        for i in range(nkf):
+            T = np.eye(4)
+            # rotations matter: a skipped Tcp factor with rotation produces
+            # large position error via the lever arm
+            th = 0.2 * i
+            T[:3, :3] = np.array([[np.cos(th), 0, np.sin(th)],
+                                  [0, 1, 0],
+                                  [-np.sin(th), 0, np.cos(th)]])
+            T[0, 3] = 0.3 * i
+            poses.append(T)
+            kf_pose = kf_pose.at[i].set(jnp.asarray(T))
+        obs = m.kf_obs
+        for i in range(nkf):
+            obs = obs.at[i, :npt].set(jnp.arange(npt))
+        # KF 3 is ALREADY dead, frozen against parent 2 (Tcp precomputed)
+        Tcp3 = poses[3] @ np.linalg.inv(poses[2])
+        m = m._replace(
+            kf_pose=kf_pose,
+            kf_valid=m.kf_valid.at[:nkf].set(True).at[3].set(False),
+            kf_obs=obs,
+            kf_feat_valid=m.kf_feat_valid.at[:nkf, :npt].set(True),
+            kf_depth=m.kf_depth.at[:nkf, :npt].set(2.0),
+            kf_uright=m.kf_uright.at[:nkf, :npt].set(10.0),
+            kf_parent=m.kf_parent.at[1].set(0).at[2].set(1)
+                                 .at[3].set(2).at[4].set(2).at[5].set(4),
+            kf_Tcp=m.kf_Tcp.at[3].set(jnp.asarray(Tcp3)),
+            pt_valid=m.pt_valid.at[:npt].set(True),
+        )
+        m2 = lm.cull_keyframes(m, jnp.asarray(5, jnp.int32), cfg)
+        valid = np.asarray(m2.kf_valid)
+        assert not valid[2], "KF2 should be culled by redundancy"
+        # the dead child keeps its frozen parent and Tcp
+        assert int(m2.kf_parent[3]) == 2
+        np.testing.assert_allclose(np.asarray(m2.kf_Tcp[3]), Tcp3, atol=1e-6)
+        # and the saver walk still reconstructs KF3's pose exactly
+        parent = np.asarray(m2.kf_parent)
+        Tcp = np.asarray(m2.kf_Tcp)
+        pose = np.asarray(m2.kf_pose)
+        T = np.eye(4)
+        r = 3
+        while r >= 0 and not valid[r]:
+            T = T @ Tcp[r]
+            r = parent[r]
+        assert r >= 0
+        np.testing.assert_allclose(T @ pose[r], poses[3], atol=1e-5)
 
 
 class TestCulling:
