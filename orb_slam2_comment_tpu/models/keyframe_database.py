@@ -85,21 +85,38 @@ class KeyFrameDatabase:
         return cand, scores
 
     def detect_loop_candidates(self, m: ms.MapState, kf_id: int, min_score: float,
-                               max_out: int = 8):
+                               max_out: int = 8, W=None, scores_common=None):
         """DetectLoopCandidates (src/KeyFrameDatabase.cc:76-197): exclude
         covisible neighbors, gate by shared words and minScore, accumulate
-        scores over top-10 covisibility groups, keep > 0.75*bestAcc."""
+        scores over top-10 covisibility groups, keep > 0.75*bestAcc.
+
+        W / scores_common are optional precomputed pulls (all-pairs
+        covisibility; (scores, common) vs the whole DB) — LoopCloser
+        passes them so one keyframe's full detection costs two device
+        pulls total instead of one per neighbor/candidate."""
         query = self.bow[kf_id]
         # ONE all-pairs covisibility program covers the exclusion row and
         # every candidate's accumulation group (the old per-candidate
         # covisibility_weights loop paid a device round-trip per candidate)
-        W = np.asarray(ms.covisibility_matrix(m))
+        if W is None:
+            W = np.asarray(ms.covisibility_matrix(m))
         w = W[kf_id]
         exclude = w >= C.COVIS_MIN_WEIGHT
         exclude[kf_id] = True
         # culled keyframes (KeyFrame::SetBadFlag -> mpKeyFrameDB->erase)
         exclude |= ~np.asarray(m.kf_valid)
-        cand, scores = self._candidates(query, exclude, min_score)
+        if scores_common is None:
+            cand, scores = self._candidates(query, exclude, min_score)
+        else:
+            scores = np.array(scores_common[0], copy=True)
+            common = np.array(scores_common[1], copy=True)
+            scores[exclude] = -1.0
+            common[exclude] = 0
+            if common.max() == 0:
+                cand = np.empty(0, np.int64)
+            else:
+                cand = np.where((common >= 0.8 * common.max())
+                                & (scores >= min_score))[0]
         if len(cand) == 0:
             return []
         cand_set = set(int(c) for c in cand)

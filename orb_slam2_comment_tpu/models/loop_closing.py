@@ -87,16 +87,27 @@ class LoopCloser:
     def _detect_loop(self, kf_id: int):
         """DetectLoop (src/LoopClosing.cc:103-229)."""
         import os
+
+        from orb_slam2_comment_tpu.models.keyframe_database import (
+            _scores_kernel,
+        )
         dbg = os.environ.get("LOOP_DEBUG", "") not in ("", "0")
         m = self.tracker.map
-        w = np.asarray(ms.covisibility_weights(m, jnp.asarray(kf_id)))
-        nbrs = np.where(w >= C.COVIS_MIN_WEIGHT)[0]
+        # exactly two device pulls for the whole detection: the all-pairs
+        # covisibility matrix and the query's (scores, common) row vs the
+        # whole DB. The old path paid one pull per covisible neighbor
+        # (l1_score) plus per-candidate covisibility rows — ~30-100ms of
+        # tunnel RTT per keyframe, the dominant KF-frame latency tail.
+        W = np.asarray(ms.covisibility_matrix(m))
+        sc = _scores_kernel(self.db.bow, self.db.valid, self.db.bow[kf_id])
+        scores_all, common_all = np.asarray(sc[0]), np.asarray(sc[1])
+        nbrs = np.where(W[kf_id] >= C.COVIS_MIN_WEIGHT)[0]
+        nbrs = nbrs[nbrs != kf_id]
         if len(nbrs) == 0:
             return None
-        q = self.db.bow[kf_id]
-        scores = [float(bow_mod.l1_score(q, self.db.bow[int(nb)])) for nb in nbrs]
-        min_score = max(min(scores), 0.0)
-        candidates = self.db.detect_loop_candidates(m, kf_id, min_score)
+        min_score = max(float(scores_all[nbrs].min()), 0.0)
+        candidates = self.db.detect_loop_candidates(
+            m, kf_id, min_score, W=W, scores_common=(scores_all, common_all))
         if not candidates:
             if dbg:
                 print(f"[loop] kf={kf_id} minScore={min_score:.3f} "
@@ -109,7 +120,7 @@ class LoopCloser:
         enough = []
         prev = self.consistent_groups
         for c in candidates:
-            cw = np.asarray(ms.covisibility_weights(m, jnp.asarray(int(c))))
+            cw = W[int(c)]
             group = set(np.where(cw > 0)[0].tolist()) | {int(c)}
             count = 0
             for pg, pc in prev:
@@ -193,14 +204,33 @@ class LoopCloser:
             [cfg.scale_factor ** (2 * l) for l in range(cfg.n_levels)]
         )
         fix_scale = cfg.sensor != MONOCULAR
+        # min_inliers 12 vs the reference Sim3Solver's 20
+        # (LoopClosing.cc:301): RANSAC only seeds the guided SearchBySim3
+        # widening below — the reference-strength gates still apply to the
+        # WIDENED set (>=20 optimize inliers, >=40 projected total), so a
+        # smaller seed keeps precision while tolerating the thinner
+        # cross-gap correspondence sets of the dense mutual matcher.
         rres = ransac.sim3_ransac(
             Xc1, Xc2, uv1, uv2,
             m.kf_octave[k1], m.kf_octave[k2][res.idx],
             pair_ok, sigma2, cfg.K, cfg.K,
             fix_scale=fix_scale,
+            min_inliers=12,
         )
         if not bool(rres.ok):
-            _loop_dbg(f"[loop] sim3 kf={kf_id}<->{cand}: RANSAC failed ({n_bow} pairs)")
+            _loop_dbg(f"[loop] sim3 kf={kf_id}<->{cand}: RANSAC failed "
+                      f"({n_bow} pairs, best {int(rres.n_inliers)} inl)")
+            import os
+            dump = os.environ.get("LOOP_DUMP", "")
+            if dump and not os.path.exists(dump):
+                np.savez(dump, Xc1=np.asarray(Xc1), Xc2=np.asarray(Xc2),
+                         uv1=np.asarray(uv1), uv2=np.asarray(uv2),
+                         oct1=np.asarray(m.kf_octave[k1]),
+                         oct2=np.asarray(m.kf_octave[k2][res.idx]),
+                         pair_ok=np.asarray(pair_ok),
+                         T1=np.asarray(T1), T2=np.asarray(T2),
+                         kf_id=kf_id, cand=cand)
+                _loop_dbg(f"[loop] dumped failing sim3 problem to {dump}")
             return False, None
         # SearchBySim3 (src/ORBmatcher.cc:1102, called at LoopClosing.cc:323):
         # widen the correspondence set by mutual projection agreement under

@@ -145,6 +145,49 @@ def grow_map(m: MapState, new_kmax: int, new_pmax: int) -> MapState:
 
 
 @jax.jit
+def compact_points(m: MapState):
+    """Stream-compact live points to the low slots, freeing the arena tail.
+
+    The reference deletes MapPoints on the heap; this fixed-shape arena
+    instead burns a fresh slot per created point (triangulation churn can
+    consume ~8 slots per surviving point on forward-motion scenes), so the
+    cursor — not the live count — used to drive capacity growth and would
+    eventually exhaust the top tier. Compaction is one device program:
+    scatter live point rows to rank order and rewrite every kf_obs entry
+    through the remap. Returns (m', n_live, remap) — the caller must also
+    remap any point ids it holds outside the map (device tracker state's
+    last_assoc) and abort an in-flight background GBA snapshot.
+    """
+    pmax = m.pt_pos.shape[0]
+    valid = m.pt_valid
+    rank = jnp.cumsum(valid.astype(jnp.int32)) - 1
+    remap = jnp.where(valid, rank, -1)                      # old id -> new id
+    dst = jnp.where(valid, rank, pmax)                      # drop row for dead
+
+    def mv(arr, fill):
+        out = jnp.full((pmax + 1,) + arr.shape[1:], fill, arr.dtype)
+        return out.at[dst].set(arr, mode="drop")[:pmax]
+
+    obs = m.kf_obs
+    obs_new = jnp.where(
+        (obs >= 0) & valid[jnp.clip(obs, 0, pmax - 1)],
+        remap[jnp.clip(obs, 0, pmax - 1)], -1)
+    return m._replace(
+        pt_pos=mv(m.pt_pos, 0),
+        pt_valid=mv(m.pt_valid, False),
+        pt_desc=mv(m.pt_desc, 0),
+        pt_normal=mv(m.pt_normal, 0),
+        pt_min_dist=mv(m.pt_min_dist, 0),
+        pt_max_dist=mv(m.pt_max_dist, 1e9),
+        pt_ref_kf=mv(m.pt_ref_kf, -1),
+        pt_first_kf=mv(m.pt_first_kf, -1),
+        pt_visible=mv(m.pt_visible, 0),
+        pt_found=mv(m.pt_found, 0),
+        kf_obs=obs_new,
+    ), jnp.sum(valid.astype(jnp.int32)), remap
+
+
+@jax.jit
 def covisibility_matrix(m: MapState) -> jax.Array:
     """[Kmax, Kmax] int32 all-pairs shared-observation counts — the full
     covisibility graph in one shot (the batched equivalent of running

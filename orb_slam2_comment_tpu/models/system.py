@@ -73,6 +73,11 @@ class System:
             self.tracker.new_kf_callbacks.append(self._maybe_bootstrap_vocab)
         self.tracker.new_kf_callbacks.append(self._on_new_kf)
         self.tracker.grow_callbacks.append(self._on_grow)
+        # point-arena compaction invalidates every point id held outside
+        # the map; the background GBA snapshot is the only such holder
+        # (mirrors mbStopGBA aborting on map interference,
+        # src/LoopClosing.cc:410-423)
+        self.tracker.compact_callbacks.append(self._on_compact)
 
         self.frame_id = 0
         self.n_loops = 0
@@ -97,6 +102,10 @@ class System:
             print(f"[system] vocabulary group_depth={self.voc.group_depth} "
                   f"!= cfg.voc_levels={self.cfg.voc_levels}; "
                   "BoW tracking gate disabled")
+
+    def _on_compact(self):
+        if self.loop_closer is not None:
+            self.loop_closer.abort_background()
 
     def _on_grow(self, new_cfg: SlamConfig):
         """Capacity-tier growth (Tracker._maybe_grow): propagate the new
@@ -220,6 +229,7 @@ class System:
             self._init_db()
         self.tracker.new_kf_callbacks.append(self._on_new_kf)
         self.tracker.grow_callbacks.append(self._on_grow)
+        self.tracker.compact_callbacks.append(self._on_compact)
 
     def shutdown(self):
         """Drain the async tracking pipeline and any in-flight background

@@ -1036,6 +1036,7 @@ class Tracker:
         self.last_reloc_frame_id = -(1 << 30)
         self.new_kf_callbacks = []   # local-mapping hook
         self.grow_callbacks = []     # capacity-tier hook (set by System)
+        self.compact_callbacks = []  # point-arena compaction hook
         self.n_pts_host = 0          # host mirror, refreshed on KF events
         self.reloc_fn = None         # relocalization hook (set by System)
         # BoW node-gate tree (1-node dummy until a vocabulary is wired by
@@ -1312,9 +1313,28 @@ class Tracker:
         kmax, pmax = cfg.max_keyframes, cfg.max_points
         need_k = (self.n_kfs >= int(kmax * 0.85)) and (
             kmax < cfg.max_keyframes_cap)
-        need_p = (self.n_pts_host >= int(pmax * 0.85)) and (
-            pmax < cfg.max_points_cap)
+        cursor_full = self.n_pts_host >= int(pmax * 0.85)
+        if not (need_k or cursor_full):
+            return
+        if cursor_full and not need_k:
+            # the cursor, not the live count, is what filled up: slot
+            # churn (triangulation creates ~8 slots per survivor). If the
+            # LIVE population still fits comfortably, compact the arena
+            # instead of growing — same capacity, no recompile, bounded
+            # total slots for arbitrarily long runs.
+            self._flush_all()
+            n_live = int(jnp.sum(self.map.pt_valid))
+            if n_live < int(pmax * 0.5):
+                self._compact_points()
+                return
+        need_p = cursor_full and (pmax < cfg.max_points_cap)
         if not (need_k or need_p):
+            # cursor full, live population full-ish, but already at the
+            # top tier: log once per hit — creation silently stops at cap
+            print(f"[tracker] WARNING: point arena at top tier "
+                  f"(cursor {self.n_pts_host}/{pmax}); compacting")
+            self._flush_all()
+            self._compact_points()
             return
         new_k = min(kmax * 4, cfg.max_keyframes_cap) if need_k else kmax
         new_p = min(pmax * 4, cfg.max_points_cap) if need_p else pmax
@@ -1328,6 +1348,34 @@ class Tracker:
             self.ds = self.ds._replace(obs_counts=_obs_counts_jit(self.map))
         for cb in self.grow_callbacks:
             cb(self.cfg)
+
+    def _compact_points(self):
+        """Compact the point arena (ms.compact_points) and remap every
+        point id held outside the map. Call only with the pipeline
+        drained."""
+        for cb in self.compact_callbacks:
+            cb()  # e.g. abort background GBA whose snapshot holds old ids
+        m2, n_live, remap = ms.compact_points(self.map)
+        self.map = m2
+        n_live_i = int(n_live)
+        print(f"[tracker] compacted point arena: cursor "
+              f"{self.n_pts_host} -> {n_live_i} live slots")
+        self.n_pts_dev = jnp.asarray(n_live_i, jnp.int32)
+        self.n_pts_host = n_live_i
+        if self.ds is not None:
+            la = self.ds.last_assoc
+            pmax = self.map.pt_pos.shape[0]
+            la2 = jnp.where(la >= 0, remap[jnp.clip(la, 0, pmax - 1)], -1)
+            self.ds = self.ds._replace(
+                last_assoc=la2,
+                n_pts=jnp.asarray(n_live_i, jnp.int32),
+                obs_counts=_obs_counts_jit(self.map),
+            )
+        if self.last_frame is not None and getattr(self.last_frame, "assoc", None) is not None:
+            a = np.asarray(self.last_frame.assoc)
+            rm = np.asarray(remap)
+            self.last_frame.assoc = jnp.asarray(
+                np.where(a >= 0, rm[np.clip(a, 0, len(rm) - 1)], -1))
 
     def track_rgbd_arrays(self, frame_id, ts, image, depth_map):
         self._maybe_grow()

@@ -612,8 +612,9 @@ _GATHER_BW = 256   # 48 patch cols + up to 127 residual = 175 -> 256
 _USE_PALLAS_GATHER = True
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def gather_patches_pallas(padded, lyx, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("interpret", "chunk"))
+def gather_patches_pallas(padded, lyx, interpret: bool = False,
+                          chunk: int = _GATHER_CHUNK):
     """padded [L, Hp, Wp] f32 (Hp multiple of 8 and >= y0a+56, Wp multiple
     of 128 and >= x0a+256 for every keypoint); lyx [N, 3] int32 rows
     (level, y0, x0). Returns [N, _PATCH_HP, _GATHER_BW] f32 with the
@@ -622,7 +623,22 @@ def gather_patches_pallas(padded, lyx, interpret: bool = False):
     from jax.experimental.pallas import tpu as pltpu
 
     n = lyx.shape[0]
-    ch, depth = _GATHER_CHUNK, _GATHER_DEPTH
+    # Mosaic keeps a scalar-prefetch SMEM copy of the index operands per
+    # grid step; past ~1024 keypoints the 1MB SMEM budget overflows
+    # (street's 2000-feature config: "Used 1.00M of 1.00M smem, exceeded
+    # by 1.1K"), and on wide pyramids the staged output block also trips
+    # the 16MB scoped-VMEM limit at 1024 rows (16.9M). Calls up to 1024
+    # rows are the hardware-validated default-config path; larger inputs
+    # split into 512-row calls whose outputs concatenate.
+    if n > 1024:
+        step = 512
+        outs = [
+            gather_patches_pallas(padded, lyx[i:i + step], interpret,
+                                  chunk=32)
+            for i in range(0, n, step)
+        ]
+        return jnp.concatenate(outs, axis=0)
+    ch, depth = chunk, _GATHER_DEPTH
     n_pad = -(-n // ch) * ch
     if n_pad != n:
         lyx = jnp.concatenate([lyx, jnp.zeros((n_pad - n, 3), lyx.dtype)])

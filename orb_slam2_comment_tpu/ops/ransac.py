@@ -347,7 +347,10 @@ def sim3_ransac(
     K2: tuple,
     fix_scale: bool = False,
     seed: int = 0,
-    n_hyp: int = 128,
+    # 512 batched hypotheses vs the reference's 300 sequential iterations
+    # (Sim3Solver::SetRansacParameters, LoopClosing.cc:301): hypotheses are
+    # embarrassingly parallel on the MXU, so sampling density is free
+    n_hyp: int = 512,
     min_inliers: int = 20,
 ) -> Sim3Result:
     """Batched 3-point Horn RANSAC with mutual-reprojection inlier check

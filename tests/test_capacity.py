@@ -246,3 +246,40 @@ def test_tracker_auto_grow_e2e():
     # culling may have invalidated some, so compare >=)
     assert trk.n_kfs >= 13
     assert int(np.asarray(trk.map.kf_valid).sum()) >= 10
+
+
+def test_point_compaction_preserves_graph():
+    """ms.compact_points: live points move to rank slots, kf_obs entries
+    remap, dead observations clear (round-3 slot-churn fix: the cursor
+    used to exhaust the arena while ~20% of slots were live)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from orb_slam2_comment_tpu.models import map_state as ms
+
+    m = ms.empty_map(4, 32, 8)  # 4 KFs, 32 point slots, 8 features
+    # live points at scattered high slots
+    live = [3, 10, 17, 29]
+    pos = np.zeros((32, 3), np.float32)
+    for i, p in enumerate(live):
+        pos[p] = [i + 1.0, 0, 0]
+    obs = np.full((4, 8), -1, np.int32)
+    obs[0, :4] = [3, 10, 17, 29]
+    obs[1, 0] = 10
+    obs[1, 1] = 5            # dead point observation -> must clear
+    m = m._replace(
+        kf_valid=m.kf_valid.at[:2].set(True),
+        pt_valid=m.pt_valid.at[jnp.asarray(live)].set(True),
+        pt_pos=jnp.asarray(pos),
+        kf_obs=jnp.asarray(obs),
+    )
+    m2, n_live, remap = ms.compact_points(m)
+    assert int(n_live) == 4
+    pv = np.asarray(m2.pt_valid)
+    assert pv[:4].all() and not pv[4:].any()
+    # positions moved with their ids
+    np.testing.assert_allclose(
+        np.asarray(m2.pt_pos[:4, 0]), [1.0, 2.0, 3.0, 4.0])
+    o2 = np.asarray(m2.kf_obs)
+    assert o2[0, :4].tolist() == [0, 1, 2, 3]
+    assert o2[1, 0] == 1
+    assert o2[1, 1] == -1

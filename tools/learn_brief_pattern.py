@@ -225,6 +225,8 @@ def main():
 
     sel = np.array(selected[:N_SELECT])
     pat = cand[sel]
+    np.savez("/tmp/pattern_stats.npz", cand=cand, mean=mean, flip=flip,
+             sel=sel, R=R.astype(np.uint8))
     print(f"selected {len(sel)}: mean|m-0.5|={np.abs(mean[sel]-0.5).mean():.3f} "
           f"flip={flip[sel].mean():.3f}  "
           f"(all candidates: {np.abs(mean-0.5).mean():.3f} / {flip.mean():.3f}; "
