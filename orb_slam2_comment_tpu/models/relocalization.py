@@ -63,11 +63,10 @@ def _reloc_kernel(m: ms.MapState, db_groups: jax.Array, cand_ids: jax.Array,
         enabled = c >= 0
         # 1. Descriptor matching to the candidate KF's map points. The
         # reference scopes this to shared FeatureVector nodes (SearchByBoW)
-        # as a CPU pruning trick; on TPU the dense Hamming matrix is one
-        # MXU matmul and node-equality gating proved brittle across the
-        # viewpoint gap a genuinely lost frame presents (see the same
-        # switch in loop_closing._compute_sim3). Mutual-best + ratio +
-        # rotation consistency are the precision gates.
+        # — a CPU pruning trick that saves nothing on TPU, where the dense
+        # Hamming matrix is one MXU matmul (same switch as
+        # loop_closing._compute_sim3). Mutual-best + ratio + rotation
+        # consistency are the precision gates.
         kf_obs = m.kf_obs[kf_j]
         kf_ok = m.kf_feat_valid[kf_j] & (kf_obs >= 0)
         dist = matching.hamming_from_packed(m.kf_desc[kf_j], feats.desc)
@@ -75,11 +74,7 @@ def _reloc_kernel(m: ms.MapState, db_groups: jax.Array, cand_ids: jax.Array,
             dist,
             kf_ok[:, None] & feats.valid[None, :],
             max_dist=cfg.th_low,
-            # 0.9 rather than the reference's 0.75: without node scoping
-            # the second-best over ALL features is far more competitive on
-            # repetitive texture; mutual-best + rotation + RANSAC carry
-            # the precision (true-revisit A/B: 0.75 -> 15 pairs, 0.9 -> 31)
-            nn_ratio=0.9,
+            nn_ratio=0.75,
             mutual=True,
             angles_a=m.kf_angle[kf_j],
             angles_b=feats.angle,
