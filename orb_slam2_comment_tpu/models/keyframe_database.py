@@ -85,7 +85,8 @@ class KeyFrameDatabase:
         return cand, scores
 
     def detect_loop_candidates(self, m: ms.MapState, kf_id: int, min_score: float,
-                               max_out: int = 8, W=None, scores_common=None):
+                               max_out: int = 8, W=None, scores_common=None,
+                               kf_valid=None):
         """DetectLoopCandidates (src/KeyFrameDatabase.cc:76-197): exclude
         covisible neighbors, gate by shared words and minScore, accumulate
         scores over top-10 covisibility groups, keep > 0.75*bestAcc.
@@ -104,7 +105,7 @@ class KeyFrameDatabase:
         exclude = w >= C.COVIS_MIN_WEIGHT
         exclude[kf_id] = True
         # culled keyframes (KeyFrame::SetBadFlag -> mpKeyFrameDB->erase)
-        exclude |= ~np.asarray(m.kf_valid)
+        exclude |= ~np.asarray(m.kf_valid if kf_valid is None else kf_valid)
         if scores_common is None:
             cand, scores = self._candidates(query, exclude, min_score)
         else:

@@ -785,7 +785,10 @@ def _mapper_kernel(m: ms.MapState, kf_id: jax.Array, pt_base: jax.Array,
 
     if cfg.enable_local_ba:
         prob, cam_ids, pt_ids = build_ba_window(m, kf_id, cfg)
-        res = optim.local_bundle_adjustment(prob, _inv_sigma2(cfg), cfg.K, cfg.bf)
+        res = optim.local_bundle_adjustment(
+            prob, _inv_sigma2(cfg), cfg.K, cfg.bf,
+            cam_major=True,  # build_ba_window emits repeat(arange(NC), N)
+        )
         m = scatter_ba_result(m, res, prob, cam_ids, pt_ids)
         m = cull_orphans(m)
     if cfg.enable_kf_culling:
@@ -800,6 +803,15 @@ class LocalMapper:
 
     def process(self, kf_id: int):
         trk = self.tracker
+        import os
+        snap = os.environ.get("MAPPER_SNAP", "")
+        if snap and kf_id >= 8 and not os.path.exists(snap):
+            d = {f"m_{k}": np.asarray(v)
+                 for k, v in trk.map._asdict().items()}
+            d["pt_base"] = np.asarray(trk.n_pts_dev)
+            d["kf_id"] = kf_id
+            np.savez(snap, **d)
+            print(f"# saved mapper snapshot {snap} at kf={kf_id}", flush=True)
         m, new_base = _mapper_kernel(
             trk.map,
             jnp.asarray(kf_id, jnp.int32),

@@ -34,6 +34,20 @@ from orb_slam2_comment_tpu.ops import matching, optim, ransac
 from orb_slam2_comment_tpu.utils.config import MONOCULAR, SlamConfig
 
 
+@jax.jit
+def _detect_pack(m, db_bow, db_valid, query):
+    """All device-side inputs of one keyframe's loop detection packed
+    into a single [K, K+3] f32 buffer: covisibility matrix | BoW scores |
+    shared-word counts | kf_valid. One output = one tunnel pull."""
+    from orb_slam2_comment_tpu.models.keyframe_database import _scores_kernel
+
+    W = ms.covisibility_matrix(m).astype(jnp.float32)
+    scores, common = _scores_kernel(db_bow, db_valid, query)
+    return jnp.concatenate(
+        [W, scores[:, None], common.astype(jnp.float32)[:, None],
+         m.kf_valid.astype(jnp.float32)[:, None]], axis=1)
+
+
 def _loop_dbg(msg):
     import os
     if os.environ.get("LOOP_DEBUG", "") not in ("", "0"):
@@ -59,14 +73,76 @@ class LoopCloser:
     # src/LoopClosing.cc:410-423) or on reset
     gba_background: bool = True
     _bg: object = None  # (prob, inv_s2, carry, it, snap_kf, snap_pt)
+    # async loop-detection queue: (kf_id, packed_dev, born_pump) — see
+    # process()/_drain_detect
+    _detect_q: object = field(default_factory=__import__("collections").deque)
+    _pump_count: int = 0
 
     # ------------------------------------------------------------------
     def process(self, kf_id: int):
+        """Queue this keyframe for loop detection and harvest any ready
+        one. Detection is ASYNCHRONOUS: the two device programs (all-pairs
+        covisibility, BoW scores row) are dispatched now and their results
+        harvested once the device->host pulls complete — usually on a
+        later frame's pump. This is the reference's LoopClosing queue
+        (src/LoopClosing.cc:57-101, mlpLoopKeyFrameQueue): the loop thread
+        runs behind tracking, and a keyframe's detection never stalls the
+        frame that created it (through a ~28ms-RTT tunnel the two blocking
+        pulls dominated KF-frame latency)."""
         if self.tracker.n_kfs < 5:
             return False
         if kf_id - self.last_loop_kf < C.LOOP_MIN_KFS_GAP:
             return False
-        cands = self._detect_loop(kf_id)
+        m = self.tracker.map
+        # ONE packed program output -> ONE device->host pull on a side
+        # thread. Through the tunnel each pull costs ~100ms wall
+        # regardless of size (transfers serialize with programs), so four
+        # separate arrays stalled ~300-400ms of frame time per keyframe.
+        # The packed buffer is a fresh program output, so no aliasing with
+        # the donated live map (the bf5b832 class).
+        packed = _detect_pack(m, self.db.bow, self.db.valid,
+                              self.db.bow[kf_id])
+        self._detect_q.append((kf_id, packed, self._pump_count))
+        return self._drain_detect(force=False)
+
+    def _drain_detect(self, force: bool) -> bool:
+        """Harvest queued detections once the device has had a few frames
+        to finish their programs (all of them when force=True). The pull
+        itself is one ~23ms round-trip when the result is ready; pulling
+        too early would block behind the keyframe burst's program queue,
+        and a background pull thread CONTENDS with the per-frame stats
+        pulls on the tunnel's serialized link (measured ~290ms stalls
+        either way). Returns True if a loop closed."""
+        closed = False
+        while self._detect_q:
+            kf_id, packed, born = self._detect_q[0]
+            if not force and self._pump_count - born < 4:
+                break
+            self._detect_q.popleft()
+            import os as _os
+            if _os.environ.get("KF_PROF", "") not in ("", "0"):
+                import time as _t
+                t0 = _t.perf_counter()
+                tiny = np.asarray(packed[0, :4])
+                t1 = _t.perf_counter()
+                P = np.asarray(packed)
+                t2 = _t.perf_counter()
+                print(f"# harvest_prof tiny={(t1-t0)*1e3:.0f}ms "
+                      f"full={(t2-t1)*1e3:.0f}ms", flush=True)
+            else:
+                P = np.asarray(packed)
+            kmax = P.shape[0]
+            W = P[:, :kmax].astype(np.int32)
+            s = P[:, kmax]
+            c = P[:, kmax + 1].astype(np.int32)
+            v = P[:, kmax + 2] > 0.5
+            closed |= self._finish_detect(kf_id, W, s, c, v)
+        return closed
+
+    def _finish_detect(self, kf_id, W, scores_all, common_all, kf_valid):
+        if kf_id - self.last_loop_kf < C.LOOP_MIN_KFS_GAP:
+            return False
+        cands = self._detect_loop(kf_id, W, scores_all, common_all, kf_valid)
         if not cands:
             return False
         # the reference tries EVERY enough-consistent candidate with its
@@ -81,33 +157,25 @@ class LoopCloser:
         self._correct_loop(kf_id, cand, S_cur_cand)
         self.last_loop_kf = kf_id
         self.n_loops_closed += 1
+        # queued detections' covisibility snapshots predate the correction
+        self._detect_q.clear()
         return True
 
     # ------------------------------------------------------------------
-    def _detect_loop(self, kf_id: int):
-        """DetectLoop (src/LoopClosing.cc:103-229)."""
+    def _detect_loop(self, kf_id: int, W, scores_all, common_all, kf_valid):
+        """DetectLoop (src/LoopClosing.cc:103-229) on pre-pulled arrays."""
         import os
 
-        from orb_slam2_comment_tpu.models.keyframe_database import (
-            _scores_kernel,
-        )
         dbg = os.environ.get("LOOP_DEBUG", "") not in ("", "0")
         m = self.tracker.map
-        # exactly two device pulls for the whole detection: the all-pairs
-        # covisibility matrix and the query's (scores, common) row vs the
-        # whole DB. The old path paid one pull per covisible neighbor
-        # (l1_score) plus per-candidate covisibility rows — ~30-100ms of
-        # tunnel RTT per keyframe, the dominant KF-frame latency tail.
-        W = np.asarray(ms.covisibility_matrix(m))
-        sc = _scores_kernel(self.db.bow, self.db.valid, self.db.bow[kf_id])
-        scores_all, common_all = np.asarray(sc[0]), np.asarray(sc[1])
         nbrs = np.where(W[kf_id] >= C.COVIS_MIN_WEIGHT)[0]
         nbrs = nbrs[nbrs != kf_id]
         if len(nbrs) == 0:
             return None
         min_score = max(float(scores_all[nbrs].min()), 0.0)
         candidates = self.db.detect_loop_candidates(
-            m, kf_id, min_score, W=W, scores_common=(scores_all, common_all))
+            m, kf_id, min_score, W=W, scores_common=(scores_all, common_all),
+            kf_valid=kf_valid)
         if not candidates:
             if dbg:
                 print(f"[loop] kf={kf_id} minScore={min_score:.3f} "
@@ -397,7 +465,11 @@ class LoopCloser:
         (one LM iteration). Called once per tracked frame by System; the
         chunk program interleaves with frame programs in the device queue,
         so the worst-case per-frame stall is one chunk, not the whole GBA.
-        Returns True while a GBA is in flight."""
+        Returns True while a GBA is in flight. Also harvests any queued
+        loop detection whose pulls completed (see process())."""
+        self._pump_count += 1
+        if self._detect_q:
+            self._drain_detect(force=False)  # closure counters updated inside
         if self._bg is None:
             return False
         prob, inv_s2, carry, it, snap_kf, snap_pt = self._bg
@@ -417,12 +489,16 @@ class LoopCloser:
     def finish_background(self):
         """Run any remaining chunks to completion (shutdown / trajectory
         save / map save: the reference waits for the GBA thread the same
-        way, src/System.cc:312-316)."""
+        way, src/System.cc:312-316). Queued loop detections are forced
+        through first — a closure launches a fresh GBA that then also
+        completes here."""
+        self._drain_detect(force=True)
         while self._bg is not None:
             self.pump_background()
 
     def abort_background(self):
         self._bg = None
+        self._detect_q.clear()
 
     def _apply_background(self):
         prob, inv_s2, carry, it, snap_kf, snap_pt = self._bg

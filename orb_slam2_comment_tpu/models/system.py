@@ -80,7 +80,7 @@ class System:
         self.tracker.compact_callbacks.append(self._on_compact)
 
         self.frame_id = 0
-        self.n_loops = 0
+        self._loops_closed_prev = 0  # across resets
         self.n_resets = 0
         self._last_seen_big_change = 0
 
@@ -127,6 +127,15 @@ class System:
         self.voc = bow_mod.train_vocabulary(desc[valid], k=8, depth=3, seed=0)
         self._init_db()
 
+    @property
+    def n_loops(self):
+        """Loops closed so far (detection is asynchronous, so closures
+        land during pump_background — count from the closer itself)."""
+        n = self._loops_closed_prev
+        if self.loop_closer is not None:
+            n += self.loop_closer.n_loops_closed
+        return n
+
     def _on_new_kf(self, kf_id: int):
         if self.db is None:
             return
@@ -134,8 +143,7 @@ class System:
         self.db.add(kf_id, m.kf_desc[kf_id], m.kf_feat_valid[kf_id])
         self.tracker.set_kf_groups(kf_id, self.db.groups[kf_id])
         if self.loop_closer is not None:
-            if self.loop_closer.process(kf_id):
-                self.n_loops += 1
+            self.loop_closer.process(kf_id)
 
     def _relocalize(self, frame):
         if self.db is None:
@@ -174,6 +182,21 @@ class System:
     def track_rgbd(self, image, depth_map, timestamp):
         assert self.cfg.sensor == RGBD
         self._maybe_auto_reset()
+        import os
+        if os.environ.get("KF_PROF", "") not in ("", "0"):
+            import time as _t
+            t0 = _t.perf_counter()
+            out = self.tracker.track_rgbd_arrays(
+                self.frame_id, timestamp, image, depth_map)
+            t1 = _t.perf_counter()
+            self._pump_background()
+            t2 = _t.perf_counter()
+            if t2 - t0 > 0.05:
+                print(f"# frame_prof fid={self.frame_id} "
+                      f"track={(t1-t0)*1e3:.1f}ms pump={(t2-t1)*1e3:.1f}ms",
+                      flush=True)
+            self.frame_id += 1
+            return out
         out = self.tracker.track_rgbd_arrays(
             self.frame_id, timestamp, image, depth_map
         )
@@ -219,6 +242,7 @@ class System:
         cfg = self.cfg
         self.n_resets += 1
         if self.loop_closer is not None:
+            self._loops_closed_prev += self.loop_closer.n_loops_closed
             self.loop_closer.abort_background()
         self.tracker._flush_all()
         self.tracker._io_pool.shutdown(wait=False)  # stop the old pull pool
@@ -278,10 +302,7 @@ class System:
         return False
 
     def _big_change_idx(self):
-        n = self.n_resets
-        if self.loop_closer is not None:
-            n += self.loop_closer.n_loops_closed
-        return n
+        return self.n_resets + self.n_loops
 
     # -- trajectory savers (System.cc:322-472) -------------------------------
     def _frame_poses(self):

@@ -907,12 +907,25 @@ def _extract_stage(image, cfg: SlamConfig):
     return feats
 
 
-def _track_stage_rgbd_core(m, ds, feats, depth_samples, meta, cfg: SlamConfig):
-    """Stage B: depth association + tracking + keyframe policy/creation."""
+def _track_stage_rgbd_core(m, ds, feats, depth_input, meta, cfg: SlamConfig):
+    """Stage B: depth association + tracking + keyframe policy/creation.
+
+    depth_input is either the FULL depth map [H, W] (sampled on device at
+    the keypoint locations — the steady-state path; keeping the map on
+    device removes the keypoint-xy device->host pull that used to gate
+    every stage-B dispatch, a ~285ms stall whenever keyframe work
+    congested the tunnel) or a pre-sampled [N] vector (host fallback
+    paths)."""
     from orb_slam2_comment_tpu.models.frame import undistort_points
     from orb_slam2_comment_tpu.ops import stereo
 
-    d = depth_samples.astype(jnp.float32)
+    if depth_input.ndim == 2:
+        h, w = depth_input.shape
+        xi = jnp.clip(jnp.round(feats.xy[:, 0]).astype(jnp.int32), 0, w - 1)
+        yi = jnp.clip(jnp.round(feats.xy[:, 1]).astype(jnp.int32), 0, h - 1)
+        d = depth_input[yi, xi].astype(jnp.float32)
+    else:
+        d = depth_input.astype(jnp.float32)
     if cfg.depth_map_factor != 1.0:
         d = d / cfg.depth_map_factor
     uright, depth = stereo.depth_to_uright(feats.xy, d, cfg.bf)
@@ -927,7 +940,7 @@ _track_stage_rgbd = functools.partial(
 
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0, 1))
 def _step_and_extract_rgbd(
-    m, ds, feats_prev, depth_samples_prev, meta_prev, image_cur,
+    m, ds, feats_prev, depth_prev, meta_prev, image_cur,
     cfg: SlamConfig,
 ):
     """Steady-state fused program: the PREVIOUS frame's stage B and the
@@ -936,7 +949,7 @@ def _step_and_extract_rgbd(
     from orb_slam2_comment_tpu.ops import orb
 
     m, ds, out_prev = _track_stage_rgbd_core(
-        m, ds, feats_prev, depth_samples_prev, meta_prev, cfg
+        m, ds, feats_prev, depth_prev, meta_prev, cfg
     )
     image = image_cur.astype(jnp.float32)
     feats_cur, _ = orb._extract_impl(image, cfg.orb, (cfg.height, cfg.width))
@@ -1138,11 +1151,27 @@ class Tracker:
             self.state = LOST
             self.velocity = None
         if kf_slot >= 0:
+            import os
+            import time as _t
+            prof = os.environ.get("KF_PROF", "") not in ("", "0")
+            block = os.environ.get("KF_PROF_BLOCK", "") not in ("", "0")
+            t0 = _t.perf_counter()
             self.kf_ts_host[kf_slot] = ts
             self.last_kf_frame_id = fid
             self.n_pts_dev = self.ds.n_pts
+            if block:
+                import jax as _jax
+                _jax.block_until_ready(self.map.kf_pose)
+                print(f"# kf_prof pre-cb device drain "
+                      f"+{(_t.perf_counter()-t0)*1e3:.1f}ms", flush=True)
             for cb in self.new_kf_callbacks:
                 cb(kf_slot)
+                if block:
+                    import jax as _jax
+                    _jax.block_until_ready(self.map.kf_pose)
+                if prof:
+                    print(f"# kf_prof cb={getattr(cb, '__qualname__', cb)} "
+                          f"+{(_t.perf_counter()-t0)*1e3:.1f}ms", flush=True)
             if self.ds is not None:
                 # local mapping may have advanced the point cursor and
                 # changed observations -> refresh the cached obs counts
@@ -1246,24 +1275,15 @@ class Tracker:
         self._pending.append((frame_id, ts, out))
         self._pull_async(frame_id, out)
 
-    @staticmethod
-    def _sample_depth_host(depth_map, xy):
-        h, w = depth_map.shape
-        x = np.clip(np.round(xy[:, 0]).astype(np.int32), 0, w - 1)
-        y = np.clip(np.round(xy[:, 1]).astype(np.int32), 0, h - 1)
-        return np.ascontiguousarray(depth_map[y, x])
-
     def _finish_stageA_front(self):
         """Flush path: pull stage-A keypoints, sample the host depth map,
         dispatch a standalone stage B."""
-        fid, ts, feats, depth_map, xy_fut = self._stageA.popleft()
-        xy = xy_fut.result()  # prefetched at dispatch; ready ~1 RTT later
-        samples = self._sample_depth_host(depth_map, xy)
+        fid, ts, feats, depth_map = self._stageA.popleft()
         meta = jnp.asarray(
             np.asarray([fid, ts, fid - self.last_reloc_frame_id], np.float32)
         )
         self.map, self.ds, out = _track_stage_rgbd(
-            self.map, self.ds, feats, jnp.asarray(samples), meta, self.cfg
+            self.map, self.ds, feats, depth_map, meta, self.cfg
         )
         self.n_pts_dev = self.ds.n_pts
         self._pending.append((fid, ts, out))
@@ -1278,8 +1298,7 @@ class Tracker:
         strictly in frame order, so tracking semantics are identical to
         the reference's one-frame chain."""
         if len(self._stageA) >= self.STAGE_A_LAG:
-            fid0, ts0, feats0, dm0, fut0 = self._stageA.popleft()
-            samples = self._sample_depth_host(dm0, fut0.result())
+            fid0, ts0, feats0, dm0 = self._stageA.popleft()
             meta0 = jnp.asarray(
                 np.asarray(
                     [fid0, ts0, fid0 - self.last_reloc_frame_id],
@@ -1287,7 +1306,7 @@ class Tracker:
                 )
             )
             self.map, self.ds, out0, feats = _step_and_extract_rgbd(
-                self.map, self.ds, feats0, jnp.asarray(samples), meta0,
+                self.map, self.ds, feats0, dm0, meta0,
                 img, self.cfg,
             )
             self.n_pts_dev = self.ds.n_pts
@@ -1295,8 +1314,9 @@ class Tracker:
             self._pull_async(fid0, out0)
         else:
             feats = _extract_stage(img, self.cfg)
-        xy_fut = self._io_pool.submit(np.asarray, feats.xy)
-        self._stageA.append((fid, ts, feats, depth_map, xy_fut))
+        # depth rides to the device with the image; stage B samples it
+        # there (no host keypoint pull on the critical path)
+        self._stageA.append((fid, ts, feats, jnp.asarray(depth_map)))
 
     def _maybe_grow(self):
         """Grow the map to the next capacity tier when ~85% full (checked
@@ -1378,6 +1398,25 @@ class Tracker:
                 np.where(a >= 0, rm[np.clip(a, 0, len(rm) - 1)], -1))
 
     def track_rgbd_arrays(self, frame_id, ts, image, depth_map):
+        import os as _os
+        if _os.environ.get("KF_PROF", "") not in ("", "0"):
+            import time as _t
+            t0 = _t.perf_counter()
+            self._maybe_grow()
+            t1 = _t.perf_counter()
+            self._flush_ready()
+            t2 = _t.perf_counter()
+            if self._fused_ok():
+                self._upQ.append(
+                    (self._dispatch_rgbd_upload,
+                     (frame_id, ts, jnp.asarray(image), depth_map)))
+                self._drain_upload(n_keep=1)
+                t3 = _t.perf_counter()
+                if t3 - t0 > 0.05:
+                    print(f"# track_prof fid={frame_id} grow={(t1-t0)*1e3:.0f} "
+                          f"flush={(t2-t1)*1e3:.0f} upload={(t3-t2)*1e3:.0f}",
+                          flush=True)
+                return LazyTrackOutput(self, frame_id)
         self._maybe_grow()
         self._flush_ready()
         if self._fused_ok():

@@ -239,7 +239,8 @@ def _inv33(M):
     return adj * inv_det[..., None, None]
 
 
-@functools.partial(jax.jit, static_argnames=("K", "bf", "iters1", "iters2"))
+@functools.partial(jax.jit, static_argnames=("K", "bf", "iters1", "iters2",
+                                              "cam_major"))
 def local_bundle_adjustment(
     prob: BAProblem,
     inv_sigma2_levels: jax.Array,
@@ -247,6 +248,7 @@ def local_bundle_adjustment(
     bf: float,
     iters1: int = C.LOCAL_BA_ITS_PHASE1,
     iters2: int = C.LOCAL_BA_ITS_PHASE2,
+    cam_major: bool = False,
 ) -> BAResult:
     """Two-phase local BA: iters1 LM steps, chi2-prune observations, iters2
     more steps, then a final outlier classification
@@ -299,24 +301,52 @@ def local_bundle_adjustment(
     def lm_step(carry, robust):
         cam_T, pts, lam, cost, n_in, obs_ok = carry
         r, Jc, Jp, w, _, _ = assemble(cam_T, pts, obs_ok, robust)
-        # block assembly
+        # Block assembly WITHOUT scatters (TPU scatter-add is sort-based
+        # and dominated the whole mapper pass: ~150ms of the ~300ms
+        # keyframe stall came from these five adds). The observation
+        # table is REGULAR in the camera axis (obs_cam = repeat(arange)),
+        # so camera blocks are reshape-sums; the irregular point axis
+        # becomes a per-camera one-hot matmul (MXU) accumulated by scan.
         JcW = Jc * w[:, :, None]                      # [O, 3, 6]
         JpW = Jp * w[:, :, None]                      # [O, 3, 3]
-        Hcc = jnp.zeros((Nc, 6, 6)).at[prob.obs_cam].add(
-            jnp.einsum("oki,okj->oij", JcW, Jc)
-        )
-        bc = jnp.zeros((Nc, 6)).at[prob.obs_cam].add(
-            -jnp.einsum("oki,ok->oi", JcW, r)
-        )
-        Hpp = jnp.zeros((Np, 3, 3)).at[prob.obs_pt].add(
-            jnp.einsum("oki,okj->oij", JpW, Jp)
-        )
-        bp = jnp.zeros((Np, 3)).at[prob.obs_pt].add(
-            -jnp.einsum("oki,ok->oi", JpW, r)
-        )
-        E = jnp.zeros((Nc, Np, 6, 3)).at[prob.obs_cam, prob.obs_pt].add(
-            jnp.einsum("oki,okj->oij", JcW, Jp)
-        )
+        if cam_major:
+            N_per = prob.obs_cam.shape[0] // Nc
+            Hcc = jnp.einsum("oki,okj->oij", JcW, Jc).reshape(
+                Nc, N_per, 6, 6).sum(1)
+            bc = -jnp.einsum("oki,ok->oi", JcW, r).reshape(
+                Nc, N_per, 6).sum(1)
+            # per-point contributions, packed to one [O, 30] matrix:
+            # Hpp (9) | bp (3) | E=JcW^T Jp (18)
+            hpp_o = jnp.einsum("oki,okj->oij", JpW, Jp).reshape(-1, 9)
+            bp_o = -jnp.einsum("oki,ok->oi", JpW, r)
+            e_o = jnp.einsum("oki,okj->oij", JcW, Jp).reshape(-1, 18)
+            packed_o = jnp.concatenate([hpp_o, bp_o, e_o], axis=-1).reshape(
+                Nc, N_per, 30)
+            # onehot_pt is CONSTANT across LM iterations (closure over the
+            # problem layout, built once below): one batched MXU einsum
+            # replaces 5 sort-based scatter-adds per iteration
+            out = jnp.einsum("cnp,cnk->cpk", onehot_pt, packed_o)  # [Nc,Np,30]
+            tot = out.sum(0)
+            Hpp = tot[:, :9].reshape(Np, 3, 3)
+            bp = tot[:, 9:12]
+            E = out[:, :, 12:].reshape(Nc, Np, 6, 3)
+        else:
+            # general (ragged) layout: scatter-based assembly
+            Hcc = jnp.zeros((Nc, 6, 6)).at[prob.obs_cam].add(
+                jnp.einsum("oki,okj->oij", JcW, Jc)
+            )
+            bc = jnp.zeros((Nc, 6)).at[prob.obs_cam].add(
+                -jnp.einsum("oki,ok->oi", JcW, r)
+            )
+            Hpp = jnp.zeros((Np, 3, 3)).at[prob.obs_pt].add(
+                jnp.einsum("oki,okj->oij", JpW, Jp)
+            )
+            bp = jnp.zeros((Np, 3)).at[prob.obs_pt].add(
+                -jnp.einsum("oki,ok->oi", JpW, r)
+            )
+            E = jnp.zeros((Nc, Np, 6, 3)).at[prob.obs_cam, prob.obs_pt].add(
+                jnp.einsum("oki,okj->oij", JcW, Jp)
+            )
         # damping
         Hcc_d = Hcc + lam * jnp.eye(6) * jnp.maximum(
             jnp.einsum("cii->c", Hcc)[:, None, None] / 6.0, 1e-6
@@ -369,6 +399,15 @@ def local_bundle_adjustment(
         cost = jnp.where(accept, new_cost, cost)
         n_in = jnp.where(accept, new_n_in, n_in)
         return (cam_T, pts, lam, cost, n_in, obs_ok)
+
+    if cam_major:
+        N_per_ = prob.obs_cam.shape[0] // Nc
+        pl_ = prob.obs_pt.reshape(Nc, N_per_)
+        onehot_pt = (
+            pl_[:, :, None] == jnp.arange(Np)[None, None, :]
+        ).astype(jnp.float32)                         # [Nc, N_per, Np]
+    else:
+        onehot_pt = None
 
     # SO(3) projection of inputs/outputs (see pose_optimize): 15 LM steps of
     # exp(d) @ T per window, windows chained over the whole run

@@ -12,13 +12,20 @@ instantiated.
 
 import os
 
+RUN_TPU_TESTS = os.environ.get("RUN_TPU_TESTS", "") not in ("", "0")
+
 flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
+if not RUN_TPU_TESTS and "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not RUN_TPU_TESTS:
+    # default suite: forced 8-device virtual CPU mesh. RUN_TPU_TESTS=1
+    # leaves the real backend registered so tests/test_tpu_parity.py can
+    # validate the shipped Pallas kernels on hardware (the verify
+    # workflow runs exactly that module on the chip).
+    jax.config.update("jax_platforms", "cpu")
 # XLA:CPU executable serialization segfaults on this host (observed inside
 # compilation_cache.put_executable_and_time during test_optim); the
 # persistent cache only pays off for the tunnel-TPU backend anyway.
