@@ -31,8 +31,11 @@ def main():
     K = syn.DEFAULT_K
     n_frames = int(sys.argv[1]) if len(sys.argv) > 1 else 120
     lag = int(sys.argv[2]) if len(sys.argv) > 2 else 4
-    traj = sys.argv[3] if len(sys.argv) > 3 else "orbit"
-    step = float(sys.argv[4]) if len(sys.argv) > 4 else 0.05
+    # forward, non-revisiting: sustained motion creates KFs at a TUM-like
+    # rate without firing loop closures (an orbit trajectory closes loops
+    # and the background GBA chunks then dominate the timed window)
+    traj = sys.argv[3] if len(sys.argv) > 3 else "forward"
+    step = float(sys.argv[4]) if len(sys.argv) > 4 else 0.025
     cfg = SlamConfig(
         pipeline_lag=lag,
         sensor="rgbd",

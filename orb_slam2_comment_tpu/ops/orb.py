@@ -626,11 +626,12 @@ def gather_patches_pallas(padded, lyx, interpret: bool = False,
     # Mosaic keeps a scalar-prefetch SMEM copy of the index operands per
     # grid step; past ~1024 keypoints the 1MB SMEM budget overflows
     # (street's 2000-feature config: "Used 1.00M of 1.00M smem, exceeded
-    # by 1.1K"), and on wide pyramids the staged output block also trips
-    # the 16MB scoped-VMEM limit at 1024 rows (16.9M). Calls up to 1024
-    # rows are the hardware-validated default-config path; larger inputs
-    # split into 512-row calls whose outputs concatenate.
-    if n > 1024:
+    # by 1.1K"). Separately, a 1024-row call's staged output + scratch
+    # need ~16.9M of scoped VMEM — over the 16MB limit whenever the
+    # surrounding fused program is large (wide pyramids; mono after a
+    # capacity-growth recompile). Split any call above 512 rows into
+    # 512-row sub-calls with a smaller DMA chunk; outputs concatenate.
+    if n > 512:
         step = 512
         outs = [
             gather_patches_pallas(padded, lyx[i:i + step], interpret,

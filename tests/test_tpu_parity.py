@@ -78,8 +78,8 @@ def test_extraction_pallas_matches_xla(shape, n_feat):
     rng = np.random.default_rng(1)
     # textured random image: piecewise blocks + noise so FAST fires
     h, w = shape
-    img = rng.integers(0, 255, (h // 8, w // 8)).astype(np.float32)
-    img = np.kron(img, np.ones((8, 8), np.float32))
+    img = rng.integers(0, 255, (h // 8 + 1, w // 8 + 1)).astype(np.float32)
+    img = np.kron(img, np.ones((8, 8), np.float32))[:h, :w]
     img += rng.normal(0, 8, (h, w)).astype(np.float32)
     img = np.clip(img, 0, 255)
 
