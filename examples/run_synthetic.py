@@ -50,8 +50,11 @@ def main():
         bf=K[0] * b,
         n_features=args.n_features,
         n_levels=4,
-        max_keyframes=64,
-        max_points=16384,
+        # default map capacities: the (600-feat, 4-level, 64-KF, 16384-pt)
+        # combination deterministically crashes the current XLA:TPU
+        # runtime inside the keyframe-create program (each half of the
+        # config compiles and runs fine alone — an upstream compiler
+        # fault, reproduced 2026-08-21; see BASELINE.md)
         enable_local_ba=args.local_ba,
         match_th_scale=1.5,
     )
