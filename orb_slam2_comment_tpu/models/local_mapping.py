@@ -84,25 +84,30 @@ def update_point_descriptors(m: ms.MapState) -> ms.MapState:
     pmax = m.pt_pos.shape[0]
     O = MAX_DESC_OBS
 
-    def fill_scan(carry, k):
-        slots, cnt = carry
-        obs_k = m.kf_obs[k]
-        pid = jnp.clip(obs_k, 0, pmax - 1)
-        ok = (obs_k >= 0) & m.kf_valid[k] & m.kf_feat_valid[k]
-        # invalid entries scatter into the sentinel row pmax (NOT a clipped
-        # real pid — duplicate indices with differing payloads would race
-        # and can clobber a real point's slot)
-        keep = ok & (cnt[pid] < O)   # first O observations win
-        pid_w = jnp.where(keep, pid, pmax)
-        j = jnp.where(keep, jnp.minimum(cnt[pid], O - 1), O - 1)
-        slots = slots.at[pid_w, j].set(m.kf_desc[k], mode="drop")
-        cnt = cnt.at[pid].add(ok.astype(jnp.int32))
-        return (slots, cnt), None
-
-    slots0 = jnp.zeros((pmax + 1, O, 8), jnp.uint32)
-    cnt0 = jnp.zeros(pmax, jnp.int32)
-    (slots, cnt), _ = jax.lax.scan(fill_scan, (slots0, cnt0), jnp.arange(Kmax))
-    slots = slots[:pmax]
+    # Invert the observation table by ONE sort instead of a scan of Kmax
+    # scatter steps (the scan cost ~30ms/keyframe at the 128-KF tier and
+    # scales linearly with KF capacity): sort the flattened (point id,
+    # descriptor) pairs by point id, compute each entry's rank within its
+    # point's segment with a vectorized searchsorted, and scatter the
+    # first O ranks into the per-point slots in one shot.
+    ok = (m.kf_obs >= 0) & m.kf_valid[:, None] & m.kf_feat_valid
+    flat_pt = jnp.where(ok, m.kf_obs, pmax).reshape(-1)       # [K*N]
+    order = jnp.argsort(flat_pt)
+    sorted_pt = flat_pt[order]
+    desc_sorted = m.kf_desc.reshape(-1, 8)[order]
+    idx = jnp.arange(sorted_pt.shape[0])
+    is_start = jnp.concatenate(
+        [jnp.ones(1, bool), sorted_pt[1:] != sorted_pt[:-1]])
+    seg_start = jax.lax.cummax(jnp.where(is_start, idx, 0))
+    rank = idx - seg_start
+    keep = (sorted_pt < pmax) & (rank < O)                    # first O win
+    row = jnp.where(keep, sorted_pt, pmax)
+    col = jnp.clip(rank, 0, O - 1)
+    slots = jnp.zeros((pmax + 1, O, 8), jnp.uint32).at[row, col].set(
+        desc_sorted, mode="drop")[:pmax]
+    cnt = jnp.zeros(pmax + 1, jnp.int32).at[
+        jnp.minimum(sorted_pt, pmax)
+    ].add(1, mode="drop")[:pmax]
     n_obs = jnp.minimum(cnt, O)
 
     # pairwise Hamming distances per point: [Pmax, O, O]

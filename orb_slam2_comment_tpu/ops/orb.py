@@ -626,12 +626,15 @@ def gather_patches_pallas(padded, lyx, interpret: bool = False,
     # Mosaic keeps a scalar-prefetch SMEM copy of the index operands per
     # grid step; past ~1024 keypoints the 1MB SMEM budget overflows
     # (street's 2000-feature config: "Used 1.00M of 1.00M smem, exceeded
-    # by 1.1K"). Separately, a 1024-row call's staged output + scratch
-    # need ~16.9M of scoped VMEM — over the 16MB limit whenever the
-    # surrounding fused program is large (wide pyramids; mono after a
-    # capacity-growth recompile). Split any call above 512 rows into
-    # 512-row sub-calls with a smaller DMA chunk; outputs concatenate.
-    if n > 512:
+    # by 1.1K"), so larger inputs split into 512-row sub-calls with a
+    # smaller DMA chunk. Calls up to 1024 rows stay ONE ch=64 kernel —
+    # the hardware-validated fast path (chunk=32 grid steps cost ~16ms of
+    # extraction per frame and stalled the whole pipeline into a keyframe
+    # storm when applied unconditionally). Known residue: the monocular
+    # fused program AFTER a capacity-growth recompile can still trip the
+    # 16MB scoped-VMEM limit with the 1024-row call (mono accuracy is
+    # next round's open item anyway; see BENCH_ACCURACY.md).
+    if n > 1024:
         step = 512
         outs = [
             gather_patches_pallas(padded, lyx[i:i + step], interpret,
