@@ -54,7 +54,7 @@ def main():
     # indoor close-range scene (TUM fr1-like): most landmarks inside the
     # close-point threshold so the keyframe policy behaves as on the
     # reference's 30fps RGB-D sequences
-    scene = syn.make_scene(n_points=1600, seed=0, extent=(6.0, 4.0, 6.0), z_near=1.0)
+    scene = syn.make_scene(n_points=3200, seed=0, extent=(8.0, 5.0, 8.0), z_near=1.0)
     # default orbit: sustained camera motion so the keyframe policy fires
     # at a TUM-like rate (~1 KF per 10-20 frames) and the timed window
     # carries real mapper/local-BA/loop-detection load (VERDICT r2 weak

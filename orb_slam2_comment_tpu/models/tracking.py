@@ -656,7 +656,18 @@ def _track_core(
     th_ref_j = jnp.where(n_kfs < 2, 0.4, th_ref)
     frames_since = frame_id - last_kf_frame_id
     c1a = frames_since >= cfg.fps
-    c1b = frames_since >= 1
+    # c1b requires LOCAL MAPPING IDLE in the reference (bLocalMappingIdle,
+    # src/Tracking.cc:1028-1037) — the backpressure that stops keyframe
+    # spam while the mapper digests the last insertion. The pipelined
+    # equivalent: the mapper pass for a keyframe lands ~pipeline_lag
+    # frames after its creation, so the mapper is 'busy' for that window.
+    # (pipeline_lag is compare=False in the cfg hash; the value is baked
+    # at first trace — fine for its 4-default, off by a frame or two if a
+    # run changes lag mid-flight.) c1c (urgent close-point deficit)
+    # intentionally bypasses the gate, as in the reference's
+    # InterruptBA-and-insert-anyway path (Tracking.cc:1043-1057).
+    busy_window = max(int(getattr(cfg, "pipeline_lag", 4)) + 1, 2)
+    c1b = frames_since > busy_window
     c1c = (cfg.sensor != MONOCULAR) & (
         (inl_f < n_ref_matches * 0.25) | need_close
     )
