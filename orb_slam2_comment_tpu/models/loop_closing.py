@@ -145,6 +145,18 @@ class LoopCloser:
         cands = self._detect_loop(kf_id, W, scores_all, common_all, kf_valid)
         if not cands:
             return False
+        # the covisibility/validity snapshot was packed ~4 pumps ago; a
+        # candidate culled (or the current KF itself) in the interim would
+        # flow into Sim3/correction with dead kf_obs/pose slots — re-check
+        # against the CURRENT map before committing (the reference's
+        # SetNotErase protocol guarantees liveness instead,
+        # src/LoopClosing.cc:110,257)
+        live = np.asarray(self.tracker.map.kf_valid)
+        if not live[kf_id]:
+            return False
+        cands = [c for c in cands if live[c]]
+        if not cands:
+            return False
         # the reference tries EVERY enough-consistent candidate with its
         # own Sim3 solver and takes the first that survives
         # (mvpEnoughConsistentCandidates, src/LoopClosing.cc:231-350)

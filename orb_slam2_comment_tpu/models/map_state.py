@@ -298,10 +298,16 @@ def update_point_stats(m: MapState, scale_factor: float = 1.2,
     max_dist = ref_dist * scale
     min_dist = max_dist / (sf ** (float(n_levels) - 1.0))
 
+    # Stored UNMARGINED (mfMaxDistance = dist*levelScaleFactor,
+    # mfMinDistance = mfMaxDistance/sf^(nLevels-1), MapPoint.cc:355-360,
+    # 367-368) to match every creation site; the 0.8/1.2 invariance margins
+    # (MapPoint.cc:373-383) are applied at query time by the frustum/fuse
+    # band checks. PredictScale consumes the unmargined mfMaxDistance
+    # (MapPoint.cc:385-391).
     return m._replace(
         pt_normal=jnp.where(m.pt_valid[:, None], normal, m.pt_normal),
-        pt_max_dist=jnp.where(m.pt_valid & has_slot, max_dist * sf, m.pt_max_dist),
-        pt_min_dist=jnp.where(m.pt_valid & has_slot, min_dist / sf, m.pt_min_dist),
+        pt_max_dist=jnp.where(m.pt_valid & has_slot, max_dist, m.pt_max_dist),
+        pt_min_dist=jnp.where(m.pt_valid & has_slot, min_dist, m.pt_min_dist),
     )
 
 

@@ -182,25 +182,23 @@ class System:
     def track_rgbd(self, image, depth_map, timestamp):
         assert self.cfg.sensor == RGBD
         self._maybe_auto_reset()
+        # KF_PROF wraps the single production path (no duplicate dispatch
+        # sequence; profiled runs measure shipped behavior)
         import os
-        if os.environ.get("KF_PROF", "") not in ("", "0"):
-            import time as _t
-            t0 = _t.perf_counter()
-            out = self.tracker.track_rgbd_arrays(
-                self.frame_id, timestamp, image, depth_map)
-            t1 = _t.perf_counter()
-            self._pump_background()
+        import time as _t
+        prof = os.environ.get("KF_PROF", "") not in ("", "0")
+        t0 = _t.perf_counter() if prof else 0.0
+        out = self.tracker.track_rgbd_arrays(
+            self.frame_id, timestamp, image, depth_map
+        )
+        t1 = _t.perf_counter() if prof else 0.0
+        self._pump_background()
+        if prof:
             t2 = _t.perf_counter()
             if t2 - t0 > 0.05:
                 print(f"# frame_prof fid={self.frame_id} "
                       f"track={(t1-t0)*1e3:.1f}ms pump={(t2-t1)*1e3:.1f}ms",
                       flush=True)
-            self.frame_id += 1
-            return out
-        out = self.tracker.track_rgbd_arrays(
-            self.frame_id, timestamp, image, depth_map
-        )
-        self._pump_background()
         self.frame_id += 1
         return out
 

@@ -1067,6 +1067,8 @@ class Tracker:
         # System.set_vocabulary_gate; dummy => gate is a no-op)
         self._voc_gate = bow.gate_arrays(None)
         self.n_last_inliers = 0
+        self._next_compact_kfs = 0   # top-tier compaction rate limit
+        self._top_tier_warned = False
         self.vo = False              # mbVO: tracking on temporal VO points
                                      # (localization-only, Tracking.cc:333)
         self.trajectory = []         # (timestamp, Tcr, ref_kf, state)
@@ -1360,11 +1362,26 @@ class Tracker:
                 return
         need_p = cursor_full and (pmax < cfg.max_points_cap)
         if not (need_k or need_p):
-            # cursor full, live population full-ish, but already at the
-            # top tier: log once per hit — creation silently stops at cap
-            print(f"[tracker] WARNING: point arena at top tier "
-                  f"(cursor {self.n_pts_host}/{pmax}); compacting")
+            # cursor full and already at the top tier. Compaction only
+            # helps when there are dead slots to reclaim: at high live
+            # occupancy each trigger pays a full pipeline drain plus the
+            # compaction program and the cursor refills within a few
+            # keyframes — a repeating stall loop. Hysteresis: >=15%
+            # reclaimable, and >=4 KFs since the previous attempt.
+            if self.n_kfs < self._next_compact_kfs:
+                return
+            self._next_compact_kfs = self.n_kfs + 4
             self._flush_all()
+            n_live = int(jnp.sum(self.map.pt_valid))
+            if n_live >= int(pmax * 0.85):
+                if not self._top_tier_warned:
+                    print(f"[tracker] WARNING: point arena at top tier with "
+                          f"{n_live}/{pmax} live; point creation degrades "
+                          f"until culling frees slots")
+                    self._top_tier_warned = True
+                return
+            print(f"[tracker] point arena at top tier "
+                  f"(cursor {self.n_pts_host}/{pmax}); compacting")
             self._compact_points()
             return
         new_k = min(kmax * 4, cfg.max_keyframes_cap) if need_k else kmax
@@ -1409,27 +1426,17 @@ class Tracker:
                 np.where(a >= 0, rm[np.clip(a, 0, len(rm) - 1)], -1))
 
     def track_rgbd_arrays(self, frame_id, ts, image, depth_map):
+        # KF_PROF wraps the ONE production path with timestamps instead of
+        # duplicating the dispatch sequence (profiled runs must measure
+        # shipped behavior)
         import os as _os
-        if _os.environ.get("KF_PROF", "") not in ("", "0"):
-            import time as _t
-            t0 = _t.perf_counter()
-            self._maybe_grow()
-            t1 = _t.perf_counter()
-            self._flush_ready()
-            t2 = _t.perf_counter()
-            if self._fused_ok():
-                self._upQ.append(
-                    (self._dispatch_rgbd_upload,
-                     (frame_id, ts, jnp.asarray(image), depth_map)))
-                self._drain_upload(n_keep=1)
-                t3 = _t.perf_counter()
-                if t3 - t0 > 0.05:
-                    print(f"# track_prof fid={frame_id} grow={(t1-t0)*1e3:.0f} "
-                          f"flush={(t2-t1)*1e3:.0f} upload={(t3-t2)*1e3:.0f}",
-                          flush=True)
-                return LazyTrackOutput(self, frame_id)
+        import time as _t
+        prof = _os.environ.get("KF_PROF", "") not in ("", "0")
+        t0 = _t.perf_counter() if prof else 0.0
         self._maybe_grow()
+        t1 = _t.perf_counter() if prof else 0.0
         self._flush_ready()
+        t2 = _t.perf_counter() if prof else 0.0
         if self._fused_ok():
             # steady state: ONE device program per frame, dispatched one
             # call late so the image upload overlaps the previous frame's
@@ -1439,6 +1446,12 @@ class Tracker:
                  (frame_id, ts, jnp.asarray(image), depth_map))
             )
             self._drain_upload(n_keep=1)
+            if prof:
+                t3 = _t.perf_counter()
+                if t3 - t0 > 0.05:
+                    print(f"# track_prof fid={frame_id} grow={(t1-t0)*1e3:.0f} "
+                          f"flush={(t2-t1)*1e3:.0f} upload={(t3-t2)*1e3:.0f}",
+                          flush=True)
             return LazyTrackOutput(self, frame_id)
         from orb_slam2_comment_tpu.models import frame as fr
 

@@ -105,6 +105,31 @@ class SlamConfig:
     # nodes at depth 2, TemplatedVocabulary.h:135-146).
     voc_levels: int = 2
 
+    def __post_init__(self):
+        # Known XLA:TPU runtime fault (BASELINE.md r3, repro in
+        # tools/repro_xla_kfcreate_fault.py): the (600-feat, 4-level,
+        # 64-KF, 16384-pt) capacity combination deterministically crashes
+        # the runtime inside the keyframe-create program, while each half
+        # of the combination runs fine alone — an upstream compiler fault,
+        # reproduced 2026-08-21 on a v5e. Auto-bump the KF capacity one
+        # notch so users cannot hit a hard runtime fault from a config.
+        if (
+            self.n_features == 600
+            and self.n_levels == 4
+            and self.max_keyframes == 64
+            and self.max_points == 16384
+        ):
+            import sys
+
+            print(
+                "[config] WARNING: (n_features=600, n_levels=4, "
+                "max_keyframes=64, max_points=16384) hits a known XLA:TPU "
+                "runtime fault in the keyframe-create program; bumping "
+                "max_keyframes to 128 (see tools/repro_xla_kfcreate_fault.py)",
+                file=sys.stderr,
+            )
+            object.__setattr__(self, "max_keyframes", 128)
+
     @property
     def th_low(self):
         """Strict acceptance, scaled but capped well below the ~128-bit
