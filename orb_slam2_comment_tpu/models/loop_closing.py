@@ -118,6 +118,13 @@ class LoopCloser:
             kf_id, packed, born = self._detect_q[0]
             if not force and self._pump_count - born < 4:
                 break
+            # never block behind the device's program queue: with the
+            # chunked mapper the queue can hold ~10 bounded chunks and a
+            # premature harvest pull stalled the frame loop for their sum
+            # (r4; same class as the r3 two-pull stall). is_ready() is a
+            # pure host-side check of the transfer/program status.
+            if not force and not packed.is_ready():
+                break
             self._detect_q.popleft()
             import os as _os
             if _os.environ.get("KF_PROF", "") not in ("", "0"):
@@ -349,6 +356,13 @@ class LoopCloser:
         """CorrectLoop (src/LoopClosing.cc:402-643)."""
         cfg = self.cfg
         trk = self.tracker
+        # the reference stops LocalMapping before correcting
+        # (RequestStop + spin, src/LoopClosing.cc:408-423); here: drain
+        # the chunked mapper machine so no in-flight BA window scatters
+        # pre-correction poses over the corrected map
+        drain = getattr(trk, "_drain_mapper", None)
+        if drain is not None:
+            drain()
         m = trk.map
         kmax = cfg.max_keyframes
 

@@ -40,7 +40,13 @@ class System:
         self.cfg = cfg
         self.tracker = Tracker(cfg)
         self.mapper = LocalMapper(cfg, self.tracker)
-        self.tracker.new_kf_callbacks.append(self.mapper.process)
+        # chunked+fused: the LocalMapping pass runs as per-frame device
+        # chunks inside the frame program (tracking._frame_step_core /
+        # local_mapping.mapper_machine_step) — the host callback would
+        # double-map every keyframe. The monolithic host callback remains
+        # the staged-mode / chunked_mapper=False path.
+        if not (cfg.chunked_mapper and cfg.fused_tracking):
+            self.tracker.new_kf_callbacks.append(self.mapper.process)
 
         if vocabulary is None and vocabulary_path:
             if vocabulary_path.endswith(".txt"):
@@ -92,7 +98,8 @@ class System:
         if self._loop_enabled:
             self.loop_closer = LoopCloser(self.cfg, self.tracker, self.db)
         self.tracker.reloc_fn = self._relocalize
-        if self.voc.group_depth == self.cfg.voc_levels:
+        self._gate_active = self.voc.group_depth == self.cfg.voc_levels
+        if self._gate_active:
             self.tracker.set_vocabulary_gate(self.voc)
         else:
             # frame-side group ids descend cfg.voc_levels levels; they must
@@ -141,7 +148,13 @@ class System:
             return
         m = self.tracker.map
         self.db.add(kf_id, m.kf_desc[kf_id], m.kf_feat_valid[kf_id])
-        self.tracker.set_kf_groups(kf_id, self.db.groups[kf_id])
+        # m.kf_group feeds ONLY the tracking node gate (_match_ref_kf), so
+        # it must key the same tree as the gate's frame_groups: backfill
+        # only when the gate is active (device-created KFs in chunked mode
+        # already carry identical rows — the overwrite is a no-op; this
+        # fills host-path KFs). Loop closing / reloc use db.groups.
+        if getattr(self, "_gate_active", False):
+            self.tracker.set_kf_groups(kf_id, self.db.groups[kf_id])
         if self.loop_closer is not None:
             self.loop_closer.process(kf_id)
 

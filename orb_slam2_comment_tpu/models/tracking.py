@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from orb_slam2_comment_tpu import constants as C
+from orb_slam2_comment_tpu.models import local_mapping as lm
 from orb_slam2_comment_tpu.models import map_state as ms
 from orb_slam2_comment_tpu.models.frame import Frame
 from orb_slam2_comment_tpu.ops import bow
@@ -275,6 +276,10 @@ def _create_kf_core(
     max_new: int = 256,
     create_all_depth: bool = False,
     enabled: jax.Array = None,
+    groups: jax.Array = None,   # [N] BoW FeatureVector node ids computed
+                                # on device at creation (chunked mode —
+                                # removes the host backfill and its
+                                # scheduling-dependent landing time)
 ):
     """Insert a keyframe and spawn close stereo/RGBD points.
 
@@ -380,6 +385,8 @@ def _create_kf_core(
         kf_obs=put_row(m.kf_obs, kf_obs_row),
         kf_parent=put_row(m.kf_parent, parent),
     )
+    if groups is not None:
+        m = m._replace(kf_group=put_row(m.kf_group, groups))
     return m, jnp.sum(take), kf_obs_row
 
 
@@ -545,6 +552,9 @@ def _track_core(
     voc_gate=None,                 # (children [Nn,k] i32, signed [Nn,256]
                                    # bf16) BoW tree for node-gated ref-KF
                                    # matching; None = full Hamming
+    mapper_idle=None,              # scalar bool: live mapper-machine idle
+                                   # flag (chunked mapper); None = the
+                                   # lag-window heuristic
 ):
     """Returns (m', Tcw, assoc, stats[N_STATS] f32).
 
@@ -657,17 +667,20 @@ def _track_core(
     frames_since = frame_id - last_kf_frame_id
     c1a = frames_since >= cfg.fps
     # c1b requires LOCAL MAPPING IDLE in the reference (bLocalMappingIdle,
-    # src/Tracking.cc:1028-1037) — the backpressure that stops keyframe
-    # spam while the mapper digests the last insertion. The pipelined
-    # equivalent: the mapper pass for a keyframe lands ~pipeline_lag
-    # frames after its creation, so the mapper is 'busy' for that window.
-    # (pipeline_lag is compare=False in the cfg hash; the value is baked
-    # at first trace — fine for its 4-default, off by a frame or two if a
-    # run changes lag mid-flight.) c1c (urgent close-point deficit)
-    # intentionally bypasses the gate, as in the reference's
-    # InterruptBA-and-insert-anyway path (Tracking.cc:1043-1057).
-    busy_window = max(int(getattr(cfg, "pipeline_lag", 4)) + 1, 2)
-    c1b = frames_since > busy_window
+    # src/Tracking.cc:1028-1037, mMinFrames=0) — the backpressure that
+    # stops keyframe spam while the mapper digests the last insertion.
+    # With the chunked mapper machine the caller passes the LIVE idle
+    # flag (phase == 0 — the real SetAcceptKeyFrames semantics,
+    # src/LocalMapping.cc:603-613). Fallback for the monolithic path: the
+    # mapper pass for a keyframe lands ~pipeline_lag frames after its
+    # creation, so the mapper is 'busy' for that window. c1c (urgent
+    # close-point deficit) intentionally bypasses the gate, as in the
+    # reference's InterruptBA-and-insert-anyway path (Tracking.cc:1043-1057).
+    if mapper_idle is not None:
+        c1b = jnp.asarray(mapper_idle) & (frames_since >= 1)
+    else:
+        busy_window = max(int(getattr(cfg, "pipeline_lag", 4)) + 1, 2)
+        c1b = frames_since > busy_window
     c1c = (cfg.sensor != MONOCULAR) & (
         (inl_f < n_ref_matches * 0.25) | need_close
     )
@@ -733,6 +746,13 @@ def _relative_to_kf(Tcw, kf_pose):
 _obs_counts_jit = jax.jit(ms.point_observation_counts)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0, 3))
+def _mapper_pump(m, n_pts, obs_counts, mp, cfg: SlamConfig):
+    """One standalone mapper-machine chunk (drain path — growth,
+    compaction, shutdown, host-path keyframes)."""
+    return lm.mapper_machine_step(m, n_pts, obs_counts, mp, cfg)
+
+
 class DeviceTrackState(NamedTuple):
     T_last: jax.Array            # [4,4] last tracked pose
     velocity: jax.Array          # [4,4] constant-velocity model
@@ -747,6 +767,8 @@ class DeviceTrackState(NamedTuple):
     voc_children: jax.Array      # [Nn,k] i32 BoW tree for node-gated ref-KF
     voc_signed: jax.Array        # [Nn,256] bf16 matching (1-node dummy =
                                  # gate disabled; see bow.gate_arrays)
+    mp: lm.MapperMachine         # chunked-mapper machine state (P6);
+                                 # idle when cfg.chunked_mapper is False
 
 
 # packed per-frame output vector layout (appended after stats[N_STATS])
@@ -778,6 +800,7 @@ def _frame_step_core(m, ds: DeviceTrackState, feats, uright, depth, meta, cfg):
         ds.last_assoc, ds.ref_kf, frame_id, ds.last_kf_frame_id, ds.n_kfs, cfg,
         obs_counts=ds.obs_counts,
         voc_gate=(ds.voc_children, ds.voc_signed),
+        mapper_idle=(ds.mp.phase == 0) if cfg.chunked_mapper else None,
     )
     tracked = stats[S_TRACKED] > 0
     # recently-relocalized frames require the stricter inlier floor
@@ -801,9 +824,17 @@ def _frame_step_core(m, ds: DeviceTrackState, feats, uright, depth, meta, cfg):
     slot = ds.n_kfs
 
     def _do_create(m_):
+        groups = None
+        if cfg.chunked_mapper:
+            # FeatureVector node ids computed on device at creation (the
+            # reference's Frame::ComputeBoW at KF time) — no host backfill,
+            # so the ref-KF node gate sees the row deterministically
+            groups = bow.group_ids(ds.voc_children, ds.voc_signed,
+                                   feats.desc, feats.valid, cfg.voc_levels)
         m2, n_created, row = _create_kf_core(
             m_, slot, ds.n_pts, frame_id, timestamp, Tcw, feats, uright,
             depth, assoc, ref1, cfg, enabled=jnp.asarray(True),
+            groups=groups,
         )
         # the KF changed observations -> refresh the cached counts here,
         # inside the rare branch
@@ -820,6 +851,21 @@ def _frame_step_core(m, ds: DeviceTrackState, feats, uright, depth, meta, cfg):
     )
     assoc_after = jnp.where(need_kf, kf_obs_row, assoc)
     ref2 = jnp.where(need_kf, slot, ref1)
+    n_pts2 = ds.n_pts + n_created.astype(jnp.int32)
+
+    mp = ds.mp
+    if cfg.chunked_mapper:
+        # a new keyframe preempts the machine (the reference aborts the
+        # running local BA and processes the queued KF: mbAbortBA,
+        # src/LocalMapping.cc:77-85); then ONE bounded chunk executes this
+        # frame — every frame pays at most one chunk (P6 complete)
+        mp = mp._replace(
+            phase=jnp.where(need_kf, jnp.asarray(1, jnp.int32), mp.phase),
+            kf=jnp.where(need_kf, slot, mp.kf),
+        )
+        m, n_pts2, obs_counts2, mp = lm.mapper_machine_step(
+            m, n_pts2, obs_counts2, mp, cfg
+        )
 
     ds2 = DeviceTrackState(
         T_last=jnp.where(tracked, Tcw, ds.T_last),
@@ -830,11 +876,12 @@ def _frame_step_core(m, ds: DeviceTrackState, feats, uright, depth, meta, cfg):
         last_assoc=jnp.where(tracked, assoc_after, ds.last_assoc),
         ref_kf=ref2,
         n_kfs=ds.n_kfs + need_kf.astype(jnp.int32),
-        n_pts=ds.n_pts + n_created.astype(jnp.int32),
+        n_pts=n_pts2,
         last_kf_frame_id=jnp.where(need_kf, frame_id, ds.last_kf_frame_id),
         obs_counts=obs_counts2,
         voc_children=ds.voc_children,
         voc_signed=ds.voc_signed,
+        mp=mp,
     )
     kmax = m.kf_pose.shape[0]
     Tcr = Tcw @ geo.inv_T(m.kf_pose[jnp.clip(ref2, 0, kmax - 1)])
@@ -1142,6 +1189,27 @@ class Tracker:
 
     def _flush_all(self):
         self._flush_upto(1 << 60)
+        self._drain_mapper()
+
+    def _drain_mapper(self, known_phase: Optional[int] = None):
+        """Pump the chunked mapper machine to idle with standalone chunk
+        programs — the reference's LocalMapping drain before shutdown,
+        growth, compaction, loop correction, or a host-path transition
+        (System::Shutdown spin, src/System.cc:301-320)."""
+        if self.ds is None or not self.cfg.chunked_mapper:
+            return
+        p = int(self.ds.mp.phase) if known_phase is None else known_phase
+        if p <= 0:
+            return
+        n_total = lm.machine_phase_count(self.cfg)
+        for _ in range(n_total - p + 1):
+            m2, n2, oc2, mp2 = _mapper_pump(
+                self.map, self.ds.n_pts, self.ds.obs_counts, self.ds.mp,
+                self.cfg,
+            )
+            self.map = m2
+            self.ds = self.ds._replace(n_pts=n2, obs_counts=oc2, mp=mp2)
+        self.n_pts_dev = self.ds.n_pts
 
     def _resolve_entry(self, fid: int, ts: float, s: np.ndarray):
         """Host state-machine update from one frame's packed stats —
@@ -1185,9 +1253,10 @@ class Tracker:
                 if prof:
                     print(f"# kf_prof cb={getattr(cb, '__qualname__', cb)} "
                           f"+{(_t.perf_counter()-t0)*1e3:.1f}ms", flush=True)
-            if self.ds is not None:
+            if self.ds is not None and not self.cfg.chunked_mapper:
                 # local mapping may have advanced the point cursor and
                 # changed observations -> refresh the cached obs counts
+                # (chunked mode: the device machine owns both)
                 self.ds = self.ds._replace(
                     n_pts=jnp.asarray(self.n_pts_dev, jnp.int32)
                     if np.isscalar(self.n_pts_dev)
@@ -1231,6 +1300,9 @@ class Tracker:
             # for the next sync / the staged path's frame_groups
             voc_children=jnp.array(self._voc_gate[0], copy=True),
             voc_signed=jnp.array(self._voc_gate[1], copy=True),
+            # fresh idle machine: host-path transitions either drained the
+            # machine (_drain_mapper) or just created the map (init)
+            mp=lm.empty_machine(self.cfg, self._n_slots()),
         )
 
     def set_vocabulary_gate(self, voc):
@@ -1393,7 +1465,12 @@ class Tracker:
         self.cfg = dataclasses.replace(
             cfg, max_keyframes=new_k, max_points=new_p)
         if self.ds is not None:
-            self.ds = self.ds._replace(obs_counts=_obs_counts_jit(self.map))
+            # the machine is idle (the _flush_all above drained it); its
+            # window capacities can change with the tier -> rebuild
+            self.ds = self.ds._replace(
+                obs_counts=_obs_counts_jit(self.map),
+                mp=lm.empty_machine(self.cfg, self._n_slots()),
+            )
         for cb in self.grow_callbacks:
             cb(self.cfg)
 
@@ -1519,6 +1596,14 @@ class Tracker:
             )
         if self.state == OK and self.cfg.fused_tracking:
             self._sync_ds_from_host(frame)
+            if out.created_kf and self.cfg.chunked_mapper:
+                # host-path keyframes (initialization, post-reloc) run the
+                # machine to completion synchronously — the monolithic
+                # path's semantics at a deterministic position
+                self.ds = self.ds._replace(mp=self.ds.mp._replace(
+                    phase=jnp.asarray(1, jnp.int32),
+                    kf=jnp.asarray(self.ref_kf, jnp.int32)))
+                self._drain_mapper(known_phase=1)
         return out
 
     def _track_host(self, frame: Frame) -> TrackOutput:

@@ -239,26 +239,20 @@ def _inv33(M):
     return adj * inv_det[..., None, None]
 
 
-@functools.partial(jax.jit, static_argnames=("K", "bf", "iters1", "iters2",
-                                              "cam_major"))
-def local_bundle_adjustment(
+def _lba_core(
     prob: BAProblem,
     inv_sigma2_levels: jax.Array,
     K: tuple,
     bf: float,
-    iters1: int = C.LOCAL_BA_ITS_PHASE1,
-    iters2: int = C.LOCAL_BA_ITS_PHASE2,
-    cam_major: bool = False,
-) -> BAResult:
-    """Two-phase local BA: iters1 LM steps, chi2-prune observations, iters2
-    more steps, then a final outlier classification
-    (src/Optimizer.cc:453-778: 5 iters -> prune -> 10 iters -> erase).
-
-    The reduced camera system is built densely: with E the [Nc,Np] grid of
-    6x3 cam-point coupling blocks (one obs per pair), S = Hcc - E Hpp^-1 E^T
-    is a single [6Nc, 3Np] @ [3Np, 6Nc] matmul — ideal MXU shape for the
-    <=~100-camera windows the covisibility graph produces.
-    """
+    cam_major: bool,
+):
+    """Factory for the local-BA LM machinery: returns (lm_step, cost_of)
+    closures over one problem. Shared by the monolithic
+    `local_bundle_adjustment` and the chunked mapper machine
+    (models/local_mapping.mapper_machine_step), whose BA phases re-enter
+    the same LM sequence across several frame programs (P6: the
+    reference's interruptible LocalBundleAdjustment,
+    src/Optimizer.cc:453-778 + mbAbortBA force-stop :517-518)."""
     Nc, Np = prob.cam_T.shape[0], prob.pts.shape[0]
     chi2_th = jnp.where(prob.obs_stereo, C.CHI2_STEREO, C.CHI2_MONO)
     delta = jnp.where(prob.obs_stereo, C.HUBER_STEREO, C.HUBER_MONO)
@@ -409,16 +403,55 @@ def local_bundle_adjustment(
     else:
         onehot_pt = None
 
-    # SO(3) projection of inputs/outputs (see pose_optimize): 15 LM steps of
-    # exp(d) @ T per window, windows chained over the whole run
-    cam_T, pts = geo.orthonormalize_T(prob.cam_T), prob.pts
-    obs_ok = prob.obs_valid
-    cost0, n_in0 = cost_of(cam_T, pts, obs_ok, True)
-    carry = (cam_T, pts, jnp.asarray(1e-4), cost0, n_in0, obs_ok)
-    carry = jax.lax.fori_loop(0, iters1, lambda i, c: lm_step(c, True), carry)
-    cam_T, pts, lam, cost, _, obs_ok = carry
+    return lm_step, cost_of
 
-    # mid-schedule prune (src/Optimizer.cc:655-700)
+
+# local-BA LM carry: (cam_T, pts, lam, cost, n_in, obs_ok)
+
+def lba_init(prob: BAProblem, inv_sigma2_levels, K, bf, cam_major=True):
+    """Initial LM carry for a (possibly chunked) local BA.
+
+    SO(3)-projects the input poses (see pose_optimize): 15 LM steps of
+    exp(d) @ T per window, windows chained over the whole run."""
+    _, cost_of = _lba_core(prob, inv_sigma2_levels, K, bf, cam_major)
+    cam_T = geo.orthonormalize_T(prob.cam_T)
+    cost0, n_in0 = cost_of(cam_T, prob.pts, prob.obs_valid, True)
+    return (cam_T, prob.pts, jnp.asarray(1e-4), cost0, n_in0, prob.obs_valid)
+
+
+def lba_iterate(prob: BAProblem, inv_sigma2_levels, carry, K, bf,
+                n_iters: int, robust: bool, cam_major=True,
+                tol: float = 1e-4):
+    """Advance the LM carry by up to n_iters steps with early termination
+    when two consecutive steps fail to reduce the cost by a relative tol
+    (g2o's OptimizationAlgorithmLevenberg terminate criterion — the
+    reference's fixed 5+10 schedule usually converges in fewer steps on
+    incremental windows, and the saved iterations are pure device time)."""
+    lm_step, _ = _lba_core(prob, inv_sigma2_levels, K, bf, cam_major)
+
+    def cond(s):
+        i, stall, _ = s
+        return (i < n_iters) & (stall < 2)
+
+    def body(s):
+        i, stall, c = s
+        c2 = lm_step(c, robust)
+        improved = (c[3] - c2[3]) > tol * jnp.maximum(jnp.abs(c[3]), 1.0)
+        return (i + 1, jnp.where(improved, 0, stall + 1), c2)
+
+    _, _, carry = jax.lax.while_loop(
+        cond, body, (jnp.asarray(0), jnp.asarray(0), carry)
+    )
+    return carry
+
+
+def lba_prune(prob: BAProblem, inv_sigma2_levels, carry, K, bf,
+              cam_major=True):
+    """Mid-schedule observation prune (src/Optimizer.cc:655-700): drop
+    chi2/depth outliers from the active set and reset the damping."""
+    _, cost_of = _lba_core(prob, inv_sigma2_levels, K, bf, cam_major)
+    cam_T, pts, _, _, _, _ = carry
+    chi2_th = jnp.where(prob.obs_stereo, C.CHI2_STEREO, C.CHI2_MONO)
     T_o, X_o = cam_T[prob.obs_cam], pts[prob.obs_pt]
     r, depth = jax.vmap(_residual_unified, in_axes=(0, 0, 0, None, None))(
         T_o, X_o, prob.obs_uvr, K, bf
@@ -428,22 +461,56 @@ def local_bundle_adjustment(
     )
     chi2 = _edge_chi2(r, inv_s2, comp)
     obs_ok = prob.obs_valid & (chi2 <= chi2_th) & (depth > 0)
-
     cost1, n_in1 = cost_of(cam_T, pts, obs_ok, False)
-    carry = (cam_T, pts, jnp.asarray(1e-4), cost1, n_in1, obs_ok)
-    carry = jax.lax.fori_loop(0, iters2, lambda i, c: lm_step(c, False), carry)
-    cam_T, pts, lam, cost, _, obs_ok = carry
+    return (cam_T, pts, jnp.asarray(1e-4), cost1, n_in1, obs_ok)
 
-    # final classification for observation erasure (src/Optimizer.cc:711-757)
+
+def lba_finalize(prob: BAProblem, inv_sigma2_levels, carry, K, bf) -> BAResult:
+    """Final chi2 classification for observation erasure
+    (src/Optimizer.cc:711-757)."""
+    cam_T, pts, _, cost, _, _ = carry
+    chi2_th = jnp.where(prob.obs_stereo, C.CHI2_STEREO, C.CHI2_MONO)
     T_o, X_o = cam_T[prob.obs_cam], pts[prob.obs_pt]
     r, depth = jax.vmap(_residual_unified, in_axes=(0, 0, 0, None, None))(
         T_o, X_o, prob.obs_uvr, K, bf
+    )
+    inv_s2, comp = _edge_weights(
+        prob.obs_oct, prob.obs_stereo, prob.obs_valid, inv_sigma2_levels
     )
     chi2 = _edge_chi2(r, inv_s2, comp)
     inlier = prob.obs_valid & (chi2 <= chi2_th) & (depth > 0)
     return BAResult(
         cam_T=geo.orthonormalize_T(cam_T), pts=pts, obs_inlier=inlier, cost=cost
     )
+
+
+@functools.partial(jax.jit, static_argnames=("K", "bf", "iters1", "iters2",
+                                              "cam_major"))
+def local_bundle_adjustment(
+    prob: BAProblem,
+    inv_sigma2_levels: jax.Array,
+    K: tuple,
+    bf: float,
+    iters1: int = C.LOCAL_BA_ITS_PHASE1,
+    iters2: int = C.LOCAL_BA_ITS_PHASE2,
+    cam_major: bool = False,
+) -> BAResult:
+    """Two-phase local BA: iters1 LM steps, chi2-prune observations, iters2
+    more steps, then a final outlier classification
+    (src/Optimizer.cc:453-778: 5 iters -> prune -> 10 iters -> erase).
+
+    The reduced camera system is built densely: with E the [Nc,Np] grid of
+    6x3 cam-point coupling blocks (one obs per pair), S = Hcc - E Hpp^-1 E^T
+    is a single [6Nc, 3Np] @ [3Np, 6Nc] matmul — ideal MXU shape for the
+    <=~100-camera windows the covisibility graph produces.
+    """
+    carry = lba_init(prob, inv_sigma2_levels, K, bf, cam_major)
+    carry = lba_iterate(prob, inv_sigma2_levels, carry, K, bf, iters1,
+                        robust=True, cam_major=cam_major)
+    carry = lba_prune(prob, inv_sigma2_levels, carry, K, bf, cam_major)
+    carry = lba_iterate(prob, inv_sigma2_levels, carry, K, bf, iters2,
+                        robust=False, cam_major=cam_major)
+    return lba_finalize(prob, inv_sigma2_levels, carry, K, bf)
 
 
 # ---------------------------------------------------------------------------

@@ -79,6 +79,14 @@ class SlamConfig:
     enable_loop_closing: bool = field(default=True, compare=False)
     enable_kf_culling: bool = True
     localization_only: bool = False
+    # Chunked mapper machine (P6): run the LocalMapping pass as bounded
+    # per-frame device chunks carried in DeviceTrackState, with a live
+    # mapper-idle flag gating the keyframe policy's c1b and abort-on-new-
+    # keyframe — the reference's mapping-THREAD semantics
+    # (src/LocalMapping.cc:47-112, 603-613; mbAbortBA :77-85). False =
+    # the monolithic synchronous per-KF pass (one ~100-250ms program).
+    # Device-static: changes the compiled frame program.
+    chunked_mapper: bool = True
     # Tracking execution mode: True = single fused device program with one
     # host sync per frame (fast on remote-attached TPUs); False = the
     # reference's staged fallback ladder with host branch decisions
