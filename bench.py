@@ -29,7 +29,7 @@ def main():
     from orb_slam2_comment_tpu.utils.config import SlamConfig
 
     K = syn.DEFAULT_K
-    n_frames = int(sys.argv[1]) if len(sys.argv) > 1 else 120
+    n_frames = int(sys.argv[1]) if len(sys.argv) > 1 else 240
     lag = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     # forward, non-revisiting: sustained motion creates KFs at a TUM-like
     # rate without firing loop closures (an orbit trajectory closes loops
@@ -88,15 +88,21 @@ def main():
     # programs are all compiled BEFORE the timed window (the timed
     # trajectory creates KFs at a TUM-like rate, and a first-KF compile
     # inside the window would charge ~minutes of tunnel compile to it).
+    # loop detection activates at n_kfs >= 5 (LOOP_MIN_KFS_GAP gate): warm
+    # past 6 KFs so the first _detect_pack program compiles BEFORE the
+    # timed window (it cost ~1-3s inside it)
     i = n_warm
     while i < len(frames) - 30 and (
-        i < n_warm + 6 or system.tracker.n_kfs < 3
+        i < n_warm + 6 or system.tracker.n_kfs < 6
     ):
         system.track_rgbd(frames[i]["image"], frames[i]["depth"],
                           frames[i]["timestamp"])
         i += 1
     n_warm = i
     system.tracker._flush_all()
+    # compile the standalone mapper-pump (end-of-run drain path) outside
+    # the timed window; on an idle machine the pumps are no-ops
+    system.tracker._drain_mapper(known_phase=1)
     print(f"# warmed {n_warm} frames, kfs={system.tracker.n_kfs}",
           file=sys.stderr)
 

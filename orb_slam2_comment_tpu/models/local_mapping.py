@@ -332,43 +332,54 @@ def cull_keyframes(m: ms.MapState, kf_id: jax.Array, cfg: SlamConfig) -> ms.MapS
     inc = inc.at[rows, fp].max(jnp.where(ok_obs, 1.0, 0.0).astype(jnp.bfloat16))
     W_full = jnp.dot(inc, inc.T, preferred_element_type=jnp.float32)
 
-    # observation counts maintained INCREMENTALLY across the candidate
-    # scan (the reference's sequential SetBadFlag updates nObs as it
-    # culls): one full-table scatter up front, then a row-sized subtract
-    # per actual cull — the per-candidate full-table recount was ~40% of
-    # this pass's device time
+    # Per-candidate redundancy inputs computed BATCHED before the scan
+    # (the per-candidate full-table scatters were most of this pass's
+    # device time); the sequential semantics — a culled KF stops counting
+    # toward later candidates' support, as in the reference's in-order
+    # SetBadFlag — are preserved by INCREMENTAL subtraction of each
+    # actually-culled KF's contributions inside the scan (culls are rare).
+    ncand = N_CULL_CANDIDATES
     total_obs0 = ms.point_observation_counts(m)
+    cand_obs = m.kf_obs[cand]                                  # [C, N]
+    cand_pid = jnp.clip(cand_obs, 0, pmax - 1)
+    cand_ok = (cand_obs >= 0) & m.pt_valid[cand_pid] & m.kf_feat_valid[cand]
+    cand_seen = cand_ok
+    if not mono:
+        d = m.kf_depth[cand]
+        cand_seen = cand_seen & (d > 0) & (d < cfg.depth_threshold)
+    cidxN = jnp.broadcast_to(
+        jnp.arange(ncand, dtype=jnp.int32)[:, None], (ncand, N))
+    # octave at which each candidate observes each point (127 = none)
+    oct_in = jnp.full((ncand, pmax), 127, jnp.int32).at[cidxN, cand_pid].min(
+        jnp.where(cand_seen, m.kf_octave[cand], 127))
+    # support counts: observations by OTHER valid KFs at scale <= oct+1
+    flat_pt = m.kf_obs.reshape(-1)
+    fpa = jnp.clip(flat_pt, 0, pmax - 1)
+    kf_of = jnp.repeat(jnp.arange(kmax, dtype=jnp.int32), N)
+    okflat = (
+        (flat_pt >= 0) & m.kf_valid.repeat(N) & m.kf_feat_valid.reshape(-1)
+    )
+    oct_flat = m.kf_octave.reshape(-1)
+    other6 = (
+        okflat[None, :]
+        & (kf_of[None, :] != cand[:, None])
+        & (oct_flat[None, :] <= oct_in[:, fpa] + 1)
+    )
+    cidxF = jnp.broadcast_to(
+        jnp.arange(ncand, dtype=jnp.int32)[:, None], other6.shape)
+    fpa6 = jnp.broadcast_to(fpa[None, :], other6.shape)
+    n_scale0 = jnp.zeros((ncand, pmax), jnp.int32).at[cidxF, fpa6].add(
+        other6.astype(jnp.int32))
 
-    def cull_one(carry, k):
-        m, total_obs = carry
-        obs_k = m.kf_obs[k]                              # [N]
-        pid = jnp.clip(obs_k, 0, pmax - 1)
-        obs_k_ok = (obs_k >= 0) & m.pt_valid[pid] & m.kf_feat_valid[k]
-        seen = obs_k_ok
-        if not mono:
-            d = m.kf_depth[k]
-            seen = seen & (d > 0) & (d < cfg.depth_threshold)
-
-        # octave at which k observes each point (127 = not observed by k)
-        oct_in_k = jnp.full(pmax, 127, jnp.int32).at[pid].min(
-            jnp.where(seen, m.kf_octave[k], 127)
-        )
-
-        # observations by OTHER keyframes at scale <= oct_in_k + 1
-        flat_pt = m.kf_obs.reshape(-1)
-        fp = jnp.clip(flat_pt, 0, pmax - 1)
-        kf_of = jnp.repeat(jnp.arange(kmax, dtype=jnp.int32), N)
-        other = (
-            (flat_pt >= 0)
-            & m.kf_valid.repeat(N)
-            & m.kf_feat_valid.reshape(-1)
-            & (kf_of != k)
-            & (m.kf_octave.reshape(-1) <= oct_in_k[fp] + 1)
-        )
-        n_scale_obs = jnp.zeros(pmax, jnp.int32).at[fp].add(other.astype(jnp.int32))
+    def cull_one(carry, xs):
+        m, total_obs, n_scale = carry
+        k, ci = xs
+        pid = cand_pid[ci]
+        obs_k_ok = cand_ok[ci]
+        seen = cand_seen[ci]
 
         considered = seen & (total_obs[pid] > C.KF_REDUNDANT_OBS)
-        redundant = considered & (n_scale_obs[pid] >= C.KF_REDUNDANT_OBS)
+        redundant = considered & (n_scale[ci, pid] >= C.KF_REDUNDANT_OBS)
         n_mp = jnp.sum(seen)
         n_red = jnp.sum(redundant)
 
@@ -424,20 +435,35 @@ def cull_keyframes(m: ms.MapState, kf_id: jax.Array, cfg: SlamConfig) -> ms.MapS
         )
         # leftovers (no covisible candidate) -> the culled KF's parent
         new_parent = jnp.where(ch_left, parent, new_parent)
-        # incremental count update: a culled KF's observations vanish
+        # incremental count updates: a culled KF's observations vanish
+        # from total_obs AND from every later candidate's scale-support
         wgt = jnp.where(m.kf_uright[k] >= 0, 2, 1)
         sub = jnp.zeros(pmax, jnp.int32).at[pid].add(
             jnp.where(obs_k_ok & cull, wgt, 0).astype(jnp.int32)
         )
+        dec = (
+            obs_k_ok[None, :]
+            & (m.kf_octave[k][None, :] <= oct_in[:, pid] + 1)
+            & (cand != k)[:, None]
+        )
+        cidxR = jnp.broadcast_to(
+            jnp.arange(ncand, dtype=jnp.int32)[:, None], dec.shape)
+        pidR = jnp.broadcast_to(pid[None, :], dec.shape)
+        n_scale = n_scale - jnp.zeros(
+            (ncand, pmax), jnp.int32
+        ).at[cidxR, pidR].add(jnp.where(cull, dec, False).astype(jnp.int32))
         return (m._replace(
             kf_valid=new_valid,
             kf_parent=new_parent,
             kf_Tcp=m.kf_Tcp.at[k].set(
                 jnp.where(cull, Tcp, m.kf_Tcp[k])
             ),
-        ), total_obs - sub), None
+        ), total_obs - sub, n_scale), None
 
-    (m, _), _ = jax.lax.scan(cull_one, (m, total_obs0), cand)
+    (m, _, _), _ = jax.lax.scan(
+        cull_one, (m, total_obs0, n_scale0),
+        (cand, jnp.arange(ncand, dtype=jnp.int32)),
+    )
     return m
 
 
@@ -574,9 +600,17 @@ def triangulate_with_neighbor(
     feat1 = order[:max_new]
     feat2 = idx2[order][:max_new]
     pmax = m.pt_pos.shape[0]
-    new_ids = pt_base + jnp.arange(max_new, dtype=jnp.int32)
-    take = take & (new_ids < pmax)
-    nid = jnp.clip(new_ids, 0, pmax - 1)
+    # New slots are CONTIGUOUS (pt_base + arange): write them with
+    # dynamic-slice updates instead of general scatters — TPU scatter is
+    # sort-based and the 10 per-field scatters dominated this kernel's
+    # device time. When the cursor cannot fit a full block, create
+    # nothing this pass (compaction/growth reclaims slots; the old
+    # per-row clip degraded to partial creation in the same regime).
+    base_ok = pt_base <= pmax - max_new
+    take = take & base_ok
+    b0 = jnp.clip(pt_base, 0, pmax - max_new)
+    new_ids = b0 + jnp.arange(max_new, dtype=jnp.int32)
+    nid = new_ids
 
     Xn = Xw[feat1]
     vec = Xn - c1
@@ -592,19 +626,22 @@ def triangulate_with_neighbor(
     min_dist = max_dist / (cfg.scale_factor ** (cfg.n_levels - 1))
 
     def put(arr, vals):
-        return arr.at[nid].set(jnp.where(take.reshape(take.shape + (1,) * (vals.ndim - 1)), vals, arr[nid]))
+        cur = jax.lax.dynamic_slice_in_dim(arr, b0, max_new, axis=0)
+        sel = take.reshape(take.shape + (1,) * (vals.ndim - 1))
+        new = jnp.where(sel, jnp.asarray(vals, arr.dtype), cur)
+        return jax.lax.dynamic_update_slice_in_dim(arr, new, b0, axis=0)
 
     m = m._replace(
         pt_pos=put(m.pt_pos, Xn),
-        pt_valid=m.pt_valid.at[nid].set(jnp.where(take, True, m.pt_valid[nid])),
+        pt_valid=put(m.pt_valid, jnp.ones_like(take)),
         pt_desc=put(m.pt_desc, f1.desc[feat1]),
         pt_normal=put(m.pt_normal, normal),
-        pt_min_dist=m.pt_min_dist.at[nid].set(jnp.where(take, min_dist, m.pt_min_dist[nid])),
-        pt_max_dist=m.pt_max_dist.at[nid].set(jnp.where(take, max_dist, m.pt_max_dist[nid])),
-        pt_ref_kf=m.pt_ref_kf.at[nid].set(jnp.where(take, kf1, m.pt_ref_kf[nid])),
-        pt_first_kf=m.pt_first_kf.at[nid].set(jnp.where(take, kf1, m.pt_first_kf[nid])),
-        pt_visible=m.pt_visible.at[nid].set(jnp.where(take, 1, m.pt_visible[nid])),
-        pt_found=m.pt_found.at[nid].set(jnp.where(take, 1, m.pt_found[nid])),
+        pt_min_dist=put(m.pt_min_dist, min_dist),
+        pt_max_dist=put(m.pt_max_dist, max_dist),
+        pt_ref_kf=put(m.pt_ref_kf, jnp.full_like(new_ids, 0) + kf1),
+        pt_first_kf=put(m.pt_first_kf, jnp.full_like(new_ids, 0) + kf1),
+        pt_visible=put(m.pt_visible, jnp.ones_like(new_ids)),
+        pt_found=put(m.pt_found, jnp.ones_like(new_ids)),
     )
     # register observations in both keyframes
     obs1 = m.kf_obs[kf1].at[feat1].set(jnp.where(take, nid, m.kf_obs[kf1][feat1]))
@@ -738,19 +775,20 @@ def _fuse_points_core(
     pt_valid = m.pt_valid.at[jnp.clip(loser, 0, pmax - 1)].set(
         jnp.where(dup, False, m.pt_valid[jnp.clip(loser, 0, pmax - 1)])
     )
-    # transfer found/visible counters (MapPoint::Replace, src/MapPoint.cc:177-222)
+    # transfer found/visible counters (MapPoint::Replace, src/MapPoint.cc:
+    # 177-222) — one fused [Pmax, 2] scatter-add (two separate scatters
+    # each pay the sort-based scatter's fixed cost)
     win_c = jnp.clip(winner, 0, pmax - 1)
-    vis_add = jnp.zeros(pmax, jnp.int32).at[win_c].add(
-        jnp.where(dup, m.pt_visible[jnp.clip(loser, 0, pmax - 1)], 0)
-    )
-    fnd_add = jnp.zeros(pmax, jnp.int32).at[win_c].add(
-        jnp.where(dup, m.pt_found[jnp.clip(loser, 0, pmax - 1)], 0)
-    )
+    lose_c = jnp.clip(loser, 0, pmax - 1)
+    upd = jnp.stack(
+        [jnp.where(dup, m.pt_visible[lose_c], 0),
+         jnp.where(dup, m.pt_found[lose_c], 0)], axis=-1)
+    acc = jnp.zeros((pmax, 2), jnp.int32).at[win_c].add(upd)
     return m._replace(
         kf_obs=kf_obs,
         pt_valid=pt_valid,
-        pt_visible=m.pt_visible + vis_add,
-        pt_found=m.pt_found + fnd_add,
+        pt_visible=m.pt_visible + acc[:, 0],
+        pt_found=m.pt_found + acc[:, 1],
     ), jnp.sum(dup)
 
 
@@ -790,9 +828,25 @@ def build_ba_window(m: ms.MapState, kf_id: jax.Array, cfg: SlamConfig):
         jnp.clip(obs_masked.reshape(-1), 0, pmax - 1)
     ].set(obs_masked.reshape(-1) >= 0)
     in_local = in_local & m.pt_valid
-    pt_score = jnp.where(in_local, jnp.arange(pmax, dtype=jnp.int32) + 1, 0)
-    pv, pt_ids = jax.lax.top_k(pt_score, NP_BA)
-    pt_ids = jnp.where(pv > 0, pt_ids, -1)
+    n_cand = jnp.sum(in_local)
+
+    def _compact(_):
+        # all candidates fit: stream-compact by cumsum position (cheaper
+        # than a top_k over the whole point table — same trick as
+        # tracking._select_local_map)
+        pos = jnp.cumsum(in_local) - 1
+        dst = jnp.where(in_local, jnp.minimum(pos, NP_BA), NP_BA)
+        out = jnp.full((NP_BA + 1,), -1, jnp.int32).at[dst].set(
+            jnp.arange(pmax, dtype=jnp.int32), mode="drop")
+        return out[:NP_BA]
+
+    def _topk(_):
+        pt_score = jnp.where(
+            in_local, jnp.arange(pmax, dtype=jnp.int32) + 1, 0)
+        pv, ids = jax.lax.top_k(pt_score, NP_BA)
+        return jnp.where(pv > 0, ids, -1)
+
+    pt_ids = jax.lax.cond(n_cand <= NP_BA, _compact, _topk, 0)
     sel = jnp.zeros(pmax, bool).at[jnp.clip(pt_ids, 0, pmax - 1)].set(pt_ids >= 0)
     remap = jnp.full(pmax, -1, jnp.int32).at[
         jnp.clip(pt_ids, 0, pmax - 1)
@@ -1116,8 +1170,16 @@ def mapper_machine_step(m: ms.MapState, n_pts, obs_counts, mp: MapperMachine,
             def body(carry, i):
                 m, base = carry
                 en = (mp.nbw[i] >= C.COVIS_MIN_WEIGHT) & (mp.kf > 0)
-                m, n_new = triangulate_with_neighbor(
-                    m, mp.kf, mp.nbi[i], base, cfg, enabled=en)
+
+                # real branch, not a mask: disabled neighbor slots (young
+                # maps, sparse covisibility) would otherwise pay the full
+                # masked kernel
+                def run(m):
+                    return triangulate_with_neighbor(
+                        m, mp.kf, mp.nbi[i], base, cfg, enabled=en)
+
+                m, n_new = jax.lax.cond(
+                    en, run, lambda m: (m, jnp.asarray(0, jnp.int32)), m)
                 return (m, base + n_new.astype(base.dtype)), None
 
             (m, n_pts), _ = jax.lax.scan(
@@ -1133,10 +1195,15 @@ def mapper_machine_step(m: ms.MapState, n_pts, obs_counts, mp: MapperMachine,
 
             def body(m, i):
                 en = (mp.nbw[i] >= C.COVIS_MIN_WEIGHT) & (mp.kf > 0)
-                m, _ = fuse_into_keyframe(m, mp.kf, mp.nbi[i], cfg,
-                                          enabled=en, obs_counts=oc)
-                m, _ = fuse_into_keyframe(m, mp.nbi[i], mp.kf, cfg,
-                                          enabled=en, obs_counts=oc)
+
+                def run(m):
+                    m, _ = fuse_into_keyframe(m, mp.kf, mp.nbi[i], cfg,
+                                              enabled=en, obs_counts=oc)
+                    m, _ = fuse_into_keyframe(m, mp.nbi[i], mp.kf, cfg,
+                                              enabled=en, obs_counts=oc)
+                    return m
+
+                m = jax.lax.cond(en, run, lambda m: m, m)
                 return m, None
 
             m, _ = jax.lax.scan(body, m, jnp.arange(lo, hi))

@@ -102,7 +102,14 @@ class LoopCloser:
         # the donated live map (the bf5b832 class).
         packed = _detect_pack(m, self.db.bow, self.db.valid,
                               self.db.bow[kf_id])
-        self._detect_q.append((kf_id, packed, self._pump_count))
+        # pull through the tracker's async IO pool (the same pattern as
+        # the per-frame stats pulls): the harvest below then never blocks
+        # behind the device's program queue — with the chunked mapper the
+        # queue holds ~10 bounded chunks and a synchronous pull stalled
+        # the frame loop ~0.2-0.9s per keyframe (r4 measurement)
+        pool = getattr(self.tracker, "_io_pool", None)
+        fut = pool.submit(np.asarray, packed) if pool is not None else None
+        self._detect_q.append((kf_id, packed, fut, self._pump_count))
         return self._drain_detect(force=False)
 
     def _drain_detect(self, force: bool) -> bool:
@@ -115,29 +122,19 @@ class LoopCloser:
         either way). Returns True if a loop closed."""
         closed = False
         while self._detect_q:
-            kf_id, packed, born = self._detect_q[0]
+            kf_id, packed, fut, born = self._detect_q[0]
             if not force and self._pump_count - born < 4:
                 break
-            # never block behind the device's program queue: with the
-            # chunked mapper the queue can hold ~10 bounded chunks and a
-            # premature harvest pull stalled the frame loop for their sum
-            # (r4; same class as the r3 two-pull stall). is_ready() is a
-            # pure host-side check of the transfer/program status.
-            if not force and not packed.is_ready():
+            # never block behind the device's program queue: the packed
+            # result arrives via the async IO pool; until the future is
+            # done (or is_ready() on the pool-less path), defer harvest
+            if fut is not None:
+                if not force and not fut.done():
+                    break
+            elif not force and not packed.is_ready():
                 break
             self._detect_q.popleft()
-            import os as _os
-            if _os.environ.get("KF_PROF", "") not in ("", "0"):
-                import time as _t
-                t0 = _t.perf_counter()
-                tiny = np.asarray(packed[0, :4])
-                t1 = _t.perf_counter()
-                P = np.asarray(packed)
-                t2 = _t.perf_counter()
-                print(f"# harvest_prof tiny={(t1-t0)*1e3:.0f}ms "
-                      f"full={(t2-t1)*1e3:.0f}ms", flush=True)
-            else:
-                P = np.asarray(packed)
+            P = fut.result() if fut is not None else np.asarray(packed)
             kmax = P.shape[0]
             W = P[:, :kmax].astype(np.int32)
             s = P[:, kmax]

@@ -291,6 +291,7 @@ def _create_kf_core(
     """
     n = feats.xy.shape[0]
     pmax = m.pt_pos.shape[0]
+    max_new = min(max_new, pmax)  # contiguous-block write must fit
     if enabled is None:
         enabled = jnp.asarray(True)
 
@@ -311,10 +312,14 @@ def _create_kf_core(
 
     feat_idx = order[:max_new]
     take = take[:max_new]
-    new_ids = pt_base + jnp.arange(max_new, dtype=jnp.int32)
-    in_cap = new_ids < pmax
-    take = take & in_cap
-    new_ids_c = jnp.clip(new_ids, 0, pmax - 1)
+    # contiguous slots -> dynamic-slice writes (no sort-based scatters);
+    # an overfull cursor creates nothing this keyframe (see the same
+    # pattern in local_mapping.triangulate_with_neighbor)
+    base_ok = pt_base <= pmax - max_new
+    take = take & base_ok
+    b0 = jnp.clip(pt_base, 0, pmax - max_new)
+    new_ids = b0 + jnp.arange(max_new, dtype=jnp.int32)
+    new_ids_c = new_ids
 
     # unproject selected features
     z = depth[feat_idx]
@@ -335,29 +340,23 @@ def _create_kf_core(
     # frustum/fuse band checks.
     min_dist = max_dist / (cfg.scale_factor ** (cfg.n_levels - 1))
 
+    def put(arr, vals):
+        cur = jax.lax.dynamic_slice_in_dim(arr, b0, max_new, axis=0)
+        sel = take.reshape(take.shape + (1,) * (arr.ndim - 1))
+        new = jnp.where(sel, jnp.asarray(vals, arr.dtype), cur)
+        return jax.lax.dynamic_update_slice_in_dim(arr, new, b0, axis=0)
+
     m = m._replace(
-        pt_pos=m.pt_pos.at[new_ids_c].set(jnp.where(take[:, None], Xw, m.pt_pos[new_ids_c])),
-        pt_valid=m.pt_valid.at[new_ids_c].set(jnp.where(take, True, m.pt_valid[new_ids_c])),
-        pt_desc=m.pt_desc.at[new_ids_c].set(
-            jnp.where(take[:, None], feats.desc[feat_idx], m.pt_desc[new_ids_c])
-        ),
-        pt_normal=m.pt_normal.at[new_ids_c].set(
-            jnp.where(take[:, None], normal, m.pt_normal[new_ids_c])
-        ),
-        pt_min_dist=m.pt_min_dist.at[new_ids_c].set(
-            jnp.where(take, min_dist, m.pt_min_dist[new_ids_c])
-        ),
-        pt_max_dist=m.pt_max_dist.at[new_ids_c].set(
-            jnp.where(take, max_dist, m.pt_max_dist[new_ids_c])
-        ),
-        pt_ref_kf=m.pt_ref_kf.at[new_ids_c].set(
-            jnp.where(take, slot, m.pt_ref_kf[new_ids_c])
-        ),
-        pt_first_kf=m.pt_first_kf.at[new_ids_c].set(
-            jnp.where(take, slot, m.pt_first_kf[new_ids_c])
-        ),
-        pt_visible=m.pt_visible.at[new_ids_c].set(jnp.where(take, 1, m.pt_visible[new_ids_c])),
-        pt_found=m.pt_found.at[new_ids_c].set(jnp.where(take, 1, m.pt_found[new_ids_c])),
+        pt_pos=put(m.pt_pos, Xw),
+        pt_valid=put(m.pt_valid, jnp.ones_like(take)),
+        pt_desc=put(m.pt_desc, feats.desc[feat_idx]),
+        pt_normal=put(m.pt_normal, normal),
+        pt_min_dist=put(m.pt_min_dist, min_dist),
+        pt_max_dist=put(m.pt_max_dist, max_dist),
+        pt_ref_kf=put(m.pt_ref_kf, jnp.zeros_like(new_ids) + slot),
+        pt_first_kf=put(m.pt_first_kf, jnp.zeros_like(new_ids) + slot),
+        pt_visible=put(m.pt_visible, jnp.ones_like(new_ids)),
+        pt_found=put(m.pt_found, jnp.ones_like(new_ids)),
     )
 
     # keyframe observation table: tracked associations + newly created
@@ -746,6 +745,20 @@ def _relative_to_kf(Tcw, kf_pose):
 _obs_counts_jit = jax.jit(ms.point_observation_counts)
 
 
+_stack_cache = {}
+
+
+def _stack_outs(outs):
+    """Stack per-frame out vectors into one [B, OUT_LEN] array on device
+    (one jitted stack per batch size; flush paths produce a few sizes)."""
+    n = len(outs)
+    fn = _stack_cache.get(n)
+    if fn is None:
+        fn = jax.jit(lambda *xs: jnp.stack(xs))
+        _stack_cache[n] = fn
+    return fn(*outs)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0, 3))
 def _mapper_pump(m, n_pts, obs_counts, mp, cfg: SlamConfig):
     """One standalone mapper-machine chunk (drain path — growth,
@@ -1076,11 +1089,6 @@ class LazyTrackOutput:
 class Tracker:
     """Host orchestrator owning the map and the tracking state machine."""
 
-    # Frames the host state machine may trail the device. The tunnel's
-    # device->host round trip is ~25ms; at ~15ms/frame a lag of 8 gives
-    # results ~2 frames of slack past the RTT, so forced (blocking) syncs
-    # never fire in steady state.
-    MAX_LAG = 12
 
     @property
     def STAGE_A_LAG(self):
@@ -1133,40 +1141,62 @@ class Tracker:
         self._upQ = collections.deque()
         self._stageA = collections.deque()    # (frame_id, ts, feats, depth_map)
         self._pending = collections.deque()   # (frame_id, ts, out_array)
+        self._batchQ = collections.deque()    # (entries, future of [B, OUT])
         self._resolved = {}                   # frame_id -> TrackOutput
-        self._results = {}                    # frame_id -> np stats
-        # Pull POOL, not a single puller thread: each device->host read
-        # costs a full ~25ms tunnel round trip, but concurrent reads
-        # overlap almost perfectly (measured 8 concurrent pulls ~= 1 RTT),
-        # so a serial puller would cap the pipeline at ~40fps.
+        # Pull POOL: each device->host read costs a full ~25ms tunnel
+        # round trip AND occupies the serialized link. Stats are therefore
+        # pulled in BATCHES: every STATS_BATCH frames the packed out
+        # vectors are stacked by one tiny device program and shipped as a
+        # single transfer — 1/STATS_BATCH the link transactions of the
+        # old one-pull-per-frame pool (which contended with the chunked
+        # mapper's program stream).
         self._io_pool = concurrent.futures.ThreadPoolExecutor(max_workers=6)
 
-    # -- async plumbing ------------------------------------------------------
-    def _pull_async(self, fid, arr):
-        def run():
-            try:
-                self._results[fid] = np.asarray(arr)
-            except Exception as e:  # pragma: no cover - surfaced at flush
-                self._results[fid] = e
-        self._io_pool.submit(run)
+    STATS_BATCH = 8
+    # Force-resolve beyond this many in-flight batches. Deep enough that
+    # the host never blocks while the device still has queued work: a
+    # blocking resolve with an empty device queue idles the chip for a
+    # full link round trip.
+    MAX_BATCHES = 6
 
-    def _flush_ready(self, max_lag: Optional[int] = None):
-        """Resolve pending frames whose stats have arrived; force-resolve
-        (blocking pull) anything older than max_lag frames."""
-        if max_lag is None:
-            max_lag = self.MAX_LAG
-        while self._pending:
-            fid, ts, out = self._pending[0]
-            res = self._results.pop(fid, None)
-            if res is None:
-                if len(self._pending) > max_lag:
-                    res = np.asarray(out)
-                else:
-                    break
-            if isinstance(res, Exception):
-                raise res
-            self._pending.popleft()
-            self._resolve_entry(fid, ts, res)
+    # -- async plumbing ------------------------------------------------------
+    def _enqueue_out(self, fid, ts, out):
+        self._pending.append((fid, ts, out))
+        if len(self._pending) >= self.STATS_BATCH:
+            self._ship_batch()
+
+    def _ship_batch(self):
+        if not self._pending:
+            return
+        entries = list(self._pending)
+        self._pending.clear()
+        outs = [e[2] for e in entries]
+        # pad partial batches to the fixed size: ONE compiled stack
+        # program total (each distinct size would pay a tunnel compile on
+        # the flush path); _resolve_batch zips against entries, so the
+        # padding rows are never read
+        while len(outs) < self.STATS_BATCH:
+            outs.append(outs[-1])
+        stacked = _stack_outs(outs)
+        fut = self._io_pool.submit(np.asarray, stacked)
+        self._batchQ.append((entries, fut))
+
+    def _resolve_batch(self, entries, fut):
+        arr = fut.result()  # re-raises worker exceptions
+        for (fid, ts, _), row in zip(entries, arr):
+            self._resolve_entry(fid, ts, row)
+
+    def _flush_ready(self, max_batches: Optional[int] = None):
+        """Resolve shipped batches whose transfers have landed;
+        force-resolve (blocking) when too many are in flight."""
+        if max_batches is None:
+            max_batches = self.MAX_BATCHES
+        while self._batchQ:
+            entries, fut = self._batchQ[0]
+            if not fut.done() and len(self._batchQ) <= max_batches:
+                break
+            self._batchQ.popleft()
+            self._resolve_batch(entries, fut)
 
     def _drain_upload(self, n_keep: int = 0):
         """Dispatch queued-upload frames until at most n_keep remain."""
@@ -1178,14 +1208,11 @@ class Tracker:
         self._drain_upload(0)
         while self._stageA and self._stageA[0][0] <= fid:
             self._finish_stageA_front()
-        while self._pending and self._pending[0][0] <= fid:
-            f, ts, out = self._pending.popleft()
-            res = self._results.pop(f, None)
-            if res is None:
-                res = np.asarray(out)
-            if isinstance(res, Exception):
-                raise res
-            self._resolve_entry(f, ts, res)
+        if self._pending and self._pending[0][0] <= fid:
+            self._ship_batch()
+        while self._batchQ and self._batchQ[0][0][0][0] <= fid:
+            entries, fut = self._batchQ.popleft()
+            self._resolve_batch(entries, fut)
 
     def _flush_all(self):
         self._flush_upto(1 << 60)
@@ -1357,8 +1384,7 @@ class Tracker:
             self.map, self.ds, *arrays, meta, self.cfg
         )
         self.n_pts_dev = self.ds.n_pts
-        self._pending.append((frame_id, ts, out))
-        self._pull_async(frame_id, out)
+        self._enqueue_out(frame_id, ts, out)
 
     def _finish_stageA_front(self):
         """Flush path: pull stage-A keypoints, sample the host depth map,
@@ -1371,8 +1397,7 @@ class Tracker:
             self.map, self.ds, feats, depth_map, meta, self.cfg
         )
         self.n_pts_dev = self.ds.n_pts
-        self._pending.append((fid, ts, out))
-        self._pull_async(fid, out)
+        self._enqueue_out(fid, ts, out)
 
     def _dispatch_rgbd_upload(self, fid, ts, img, depth_map):
         """Dispatch one RGB-D frame whose image upload was enqueued a call
@@ -1395,8 +1420,7 @@ class Tracker:
                 img, self.cfg,
             )
             self.n_pts_dev = self.ds.n_pts
-            self._pending.append((fid0, ts0, out0))
-            self._pull_async(fid0, out0)
+            self._enqueue_out(fid0, ts0, out0)
         else:
             feats = _extract_stage(img, self.cfg)
         # depth rides to the device with the image; stage B samples it
