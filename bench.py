@@ -159,6 +159,48 @@ def main():
     assert st == 1, f"tracking lost during bench (state={st})"
 
     fps = n_timed / wall
+
+    # MFU estimate: XLA cost analysis of the steady-state fused frame
+    # program (tracking stage + extraction + one mapper chunk) x dispatch
+    # count / wall, against the v5e's bf16 peak (197 TFLOP/s). The
+    # lowering is host-side and compile hits the persistent cache. Cost
+    # analysis sums ALL branches of device conds (keyframe-create, mapper
+    # phases), so this is an upper bound on issued FLOPs; it exists to
+    # show how far from compute-bound the workload is (SLAM tracking is
+    # latency/op-count bound, not FLOP bound).
+    mfu = {}
+    try:
+        from orb_slam2_comment_tpu.models import tracking as trk
+        from orb_slam2_comment_tpu.ops.orb import FrameFeatures
+
+        t = system.tracker
+        S = jax.ShapeDtypeStruct
+        abs_of = lambda x: S(x.shape, x.dtype)
+        n = t._n_slots()
+        h, w = cfg.height, cfg.width
+        feats_s = FrameFeatures(
+            xy=S((n, 2), np.float32), response=S((n,), np.float32),
+            angle=S((n,), np.float32), octave=S((n,), np.int32),
+            desc=S((n, 8), np.uint32), valid=S((n,), np.bool_),
+        )
+        lowered = trk._step_and_extract_rgbd.lower(
+            jax.tree_util.tree_map(abs_of, t.map),
+            jax.tree_util.tree_map(abs_of, t.ds),
+            feats_s, S((h, w), np.uint16), S((3,), np.float32),
+            S((h, w), np.uint8), cfg=t.cfg,
+        )
+        ca = lowered.compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops_per_frame = float(ca.get("flops", 0.0))
+        peak = 197e12  # v5e bf16 peak
+        mfu = {
+            "flops_per_frame": flops_per_frame,
+            "mfu": round(flops_per_frame * n_timed / wall / peak, 5),
+        }
+    except Exception as e:  # pragma: no cover - cost analysis is optional
+        print(f"# mfu estimate unavailable: {e}", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -167,6 +209,7 @@ def main():
                 "unit": "fps",
                 "vs_baseline": round(fps / 30.0, 3),
                 **lat,
+                **mfu,
             }
         )
     )

@@ -54,8 +54,10 @@ def _residual_unified(Tcw, Xw, obs, K, bf):
     return obs - pred, Xc[..., 2]
 
 
-def _edge_jacobians(Tcw, Xw, obs, K, bf):
-    """Per-edge residual + Jacobians wrt camera tangent (6) and point (3)."""
+def _edge_jacobians_ad(Tcw, Xw, obs, K, bf):
+    """jacfwd reference implementation (kept for the parity test — the
+    analytic version below is ~3x cheaper per edge and bit-equivalent up
+    to float rounding)."""
 
     def r_of(dc, dp):
         T = geo.se3_exp(dc) @ Tcw
@@ -68,6 +70,66 @@ def _edge_jacobians(Tcw, Xw, obs, K, bf):
     Jc = jax.jacfwd(r_of, argnums=0)(z6, z3)
     Jp = jax.jacfwd(r_of, argnums=1)(z6, z3)
     return r, Jc, Jp, depth
+
+
+def _edge_jacobians(Tcw, Xw, obs, K, bf):
+    """Per-edge residual + ANALYTIC Jacobians wrt camera tangent (6,
+    layout [rho, phi] matching geo.se3_exp) and point (3).
+
+    The reference's hand-written linearizeOplus
+    (types_six_dof_expmap.cpp: EdgeSE3ProjectXYZ/EdgeStereoSE3ProjectXYZ)
+    in the unified (u, v, ur) form: with Xc = R Xw + t and the stereo
+    projection of geo.project_stereo,
+        dpred/dXc = [[fx/z, 0, -fx x/z^2],
+                     [0, fy/z, -fy y/z^2],
+                     [fx/z, 0, (-fx x + bf)/z^2]]
+        dXc/d[rho, phi] = [I | -[Xc]x],   dXc/dXw = R
+    and dr = -dpred/dXc. Replaces a 9-tangent jacfwd evaluation per edge
+    (the LM assemble pass was op-count bound on TPU)."""
+    fx, fy, cx, cy = K
+    Xc = geo.transform_points(Tcw, Xw)
+    pred = geo.project_stereo(K, bf, Xc)
+    r = obs - pred
+    x, y, z = Xc[..., 0], Xc[..., 1], Xc[..., 2]
+    invz = 1.0 / jnp.maximum(z, 1e-9)
+    invz2 = invz * invz
+    zr = jnp.zeros_like(x)
+    # D = dr/dXc (sparse: D01 = D10 = D21 = 0). Everything below is
+    # written ELEMENTWISE on purpose: stacking into [...,3,3] and calling
+    # einsum lowers to tiny batched 3x3 dot_generals whose MXU padding
+    # costs more than the whole jacfwd it replaced (measured on the v5e).
+    D00 = -fx * invz
+    D02 = fx * x * invz2
+    D11 = -fy * invz
+    D12 = fy * y * invz2
+    D20 = -fx * invz
+    D22 = (fx * x - bf) * invz2
+    # M = D @ [Xc]x with [Xc]x rows (0,-z,y), (z,0,-x), (-y,x,0)
+    M00 = -D02 * y
+    M01 = -D00 * z + D02 * x
+    M02 = D00 * y
+    M10 = D11 * z - D12 * y
+    M11 = D12 * x
+    M12 = -D11 * x
+    M20 = -D22 * y
+    M21 = -D20 * z + D22 * x
+    M22 = D20 * y
+    # Jc = [D | -M]  (tangent layout [rho, phi] of geo.se3_exp)
+    Jc = jnp.stack([
+        jnp.stack([D00, zr, D02, -M00, -M01, -M02], axis=-1),
+        jnp.stack([zr, D11, D12, -M10, -M11, -M12], axis=-1),
+        jnp.stack([D20, zr, D22, -M20, -M21, -M22], axis=-1),
+    ], axis=-2)                                        # [..., 3, 6]
+    R = Tcw[..., :3, :3]
+    R0 = R[..., 0, :]
+    R1 = R[..., 1, :]
+    R2 = R[..., 2, :]
+    Jp = jnp.stack([
+        D00[..., None] * R0 + D02[..., None] * R2,
+        D11[..., None] * R1 + D12[..., None] * R2,
+        D20[..., None] * R0 + D22[..., None] * R2,
+    ], axis=-2)                                        # [..., 3, 3]
+    return r, Jc, Jp, z
 
 
 def _edge_weights(octave, is_stereo, valid, inv_sigma2_levels):
@@ -292,9 +354,20 @@ def _lba_core(
         n_in = jnp.sum(obs_ok & (chi2 <= chi2_th))
         return jnp.sum(jnp.where(robust, rho, chi2)), n_in
 
-    def lm_step(carry, robust):
-        cam_T, pts, lam, cost, n_in, obs_ok = carry
-        r, Jc, Jp, w, _, _ = assemble(cam_T, pts, obs_ok, robust)
+    def cost_from_chi2(chi2, obs_ok, robust):
+        """Robust cost + inlier count reusing an assemble pass's chi2 —
+        avoids a separate residual evaluation (the accept test was ~35%
+        of each LM iteration's device time)."""
+        d2 = delta * delta
+        rho = jnp.where(
+            chi2 <= d2,
+            chi2,
+            2.0 * delta * jnp.sqrt(jnp.maximum(chi2, 1e-12)) - d2,
+        )
+        n_in = jnp.sum(obs_ok & (chi2 <= chi2_th))
+        return jnp.sum(jnp.where(robust, rho, chi2)), n_in
+
+    def solve_step(r, Jc, Jp, w, lam, cam_T, pts):
         # Block assembly WITHOUT scatters (TPU scatter-add is sort-based
         # and dominated the whole mapper pass: ~150ms of the ~300ms
         # keyframe stall came from these five adds). The observation
@@ -376,6 +449,12 @@ def _lba_core(
         cam_T_new = jax.vmap(lambda d, T: geo.se3_exp(d) @ T)(dc, cam_T)
         cam_T_new = jnp.where(cam_free[:, None, None], cam_T_new, cam_T)
         pts_new = jnp.where(prob.pt_valid[:, None], pts + dp, pts)
+        return cam_T_new, pts_new
+
+    def lm_step(carry, robust):
+        cam_T, pts, lam, cost, n_in, obs_ok = carry
+        r, Jc, Jp, w, _, _ = assemble(cam_T, pts, obs_ok, robust)
+        cam_T_new, pts_new = solve_step(r, Jc, Jp, w, lam, cam_T, pts)
         new_cost, new_n_in = cost_of(cam_T_new, pts_new, obs_ok, robust)
         # Acceptance requires BOTH a cost decrease and a surviving inlier
         # set. Huber saturation makes "fit a tiny subset perfectly, push
@@ -397,6 +476,58 @@ def _lba_core(
         n_in = jnp.where(accept, new_n_in, n_in)
         return (cam_T, pts, lam, cost, n_in, obs_ok)
 
+    def iterate_da(carry, n_iters, robust, tol):
+        """Delayed-acceptance LM: the accept test for step k reuses step
+        k+1's assemble pass (ONE residual+Jacobian evaluation per
+        iteration instead of two — the separate accept-test pass was ~35%
+        of each iteration's device time); on a rejection the
+        linearization re-assembles at the last accepted state under a
+        rare lax.cond branch. Same guards as lm_step (cost decrease +
+        inlier survival) and the same stall-based early termination."""
+        cam_T, pts, lam, cost, n_in, obs_ok = carry
+
+        def cond_fn(s):
+            i, stall = s[0], s[1]
+            return (i < n_iters) & (stall < 2)
+
+        def body(s):
+            (i, stall, cur_T, cur_pts, ref_T, ref_pts, ref_cost, ref_nin,
+             lam) = s
+            r, Jc, Jp, w, chi2, _ = assemble(cur_T, cur_pts, obs_ok, robust)
+            cost_cur, nin_cur = cost_from_chi2(chi2, obs_ok, robust)
+            ok = (cost_cur <= ref_cost) & (
+                nin_cur.astype(jnp.float32)
+                >= 0.6 * ref_nin.astype(jnp.float32)
+            )
+
+            def use_cur(_):
+                return cur_T, cur_pts, r, Jc, Jp, w, cost_cur, nin_cur
+
+            def use_ref(_):
+                r2, Jc2, Jp2, w2, chi22, _ = assemble(
+                    ref_T, ref_pts, obs_ok, robust)
+                c2, n2 = cost_from_chi2(chi22, obs_ok, robust)
+                return ref_T, ref_pts, r2, Jc2, Jp2, w2, c2, n2
+
+            lin_T, lin_pts, r, Jc, Jp, w, lin_cost, lin_nin = jax.lax.cond(
+                ok, use_cur, use_ref, 0)
+            lam = jnp.where(ok, jnp.maximum(lam * 0.5, 1e-9),
+                            jnp.minimum(lam * 4.0, 1e6))
+            new_T, new_pts = solve_step(r, Jc, Jp, w, lam, lin_T, lin_pts)
+            improved = (ref_cost - lin_cost) > tol * jnp.maximum(
+                jnp.abs(ref_cost), 1.0)
+            stall = jnp.where(improved, 0, stall + 1)
+            return (i + 1, stall, new_T, new_pts, lin_T, lin_pts,
+                    jnp.minimum(lin_cost, ref_cost), lin_nin, lam)
+
+        s0 = (jnp.asarray(0), jnp.asarray(0), cam_T, pts, cam_T, pts,
+              cost, n_in, lam)
+        s = jax.lax.while_loop(cond_fn, body, s0)
+        ref_T, ref_pts, ref_cost, ref_nin, lam = s[4], s[5], s[6], s[7], s[8]
+        # the trailing candidate step is unevaluated — return the last
+        # ACCEPTED state, whose cost/inliers are known
+        return (ref_T, ref_pts, lam, ref_cost, ref_nin, obs_ok)
+
     if cam_major:
         N_per_ = prob.obs_cam.shape[0] // Nc
         pl_ = prob.obs_pt.reshape(Nc, N_per_)
@@ -410,7 +541,7 @@ def _lba_core(
     else:
         onehot_pt = None
 
-    return lm_step, cost_of
+    return lm_step, cost_of, iterate_da
 
 
 # local-BA LM carry: (cam_T, pts, lam, cost, n_in, obs_ok)
@@ -420,7 +551,7 @@ def lba_init(prob: BAProblem, inv_sigma2_levels, K, bf, cam_major=True):
 
     SO(3)-projects the input poses (see pose_optimize): 15 LM steps of
     exp(d) @ T per window, windows chained over the whole run."""
-    _, cost_of = _lba_core(prob, inv_sigma2_levels, K, bf, cam_major)
+    _, cost_of, _ = _lba_core(prob, inv_sigma2_levels, K, bf, cam_major)
     cam_T = geo.orthonormalize_T(prob.cam_T)
     cost0, n_in0 = cost_of(cam_T, prob.pts, prob.obs_valid, True)
     return (cam_T, prob.pts, jnp.asarray(1e-4), cost0, n_in0, prob.obs_valid)
@@ -434,29 +565,15 @@ def lba_iterate(prob: BAProblem, inv_sigma2_levels, carry, K, bf,
     (g2o's OptimizationAlgorithmLevenberg terminate criterion — the
     reference's fixed 5+10 schedule usually converges in fewer steps on
     incremental windows, and the saved iterations are pure device time)."""
-    lm_step, _ = _lba_core(prob, inv_sigma2_levels, K, bf, cam_major)
-
-    def cond(s):
-        i, stall, _ = s
-        return (i < n_iters) & (stall < 2)
-
-    def body(s):
-        i, stall, c = s
-        c2 = lm_step(c, robust)
-        improved = (c[3] - c2[3]) > tol * jnp.maximum(jnp.abs(c[3]), 1.0)
-        return (i + 1, jnp.where(improved, 0, stall + 1), c2)
-
-    _, _, carry = jax.lax.while_loop(
-        cond, body, (jnp.asarray(0), jnp.asarray(0), carry)
-    )
-    return carry
+    _, _, iterate_da = _lba_core(prob, inv_sigma2_levels, K, bf, cam_major)
+    return iterate_da(carry, n_iters, robust, tol)
 
 
 def lba_prune(prob: BAProblem, inv_sigma2_levels, carry, K, bf,
               cam_major=True):
     """Mid-schedule observation prune (src/Optimizer.cc:655-700): drop
     chi2/depth outliers from the active set and reset the damping."""
-    _, cost_of = _lba_core(prob, inv_sigma2_levels, K, bf, cam_major)
+    _, cost_of, _ = _lba_core(prob, inv_sigma2_levels, K, bf, cam_major)
     cam_T, pts, _, _, _, _ = carry
     chi2_th = jnp.where(prob.obs_stereo, C.CHI2_STEREO, C.CHI2_MONO)
     T_o, X_o = cam_T[prob.obs_cam], pts[prob.obs_pt]

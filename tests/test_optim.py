@@ -269,3 +269,26 @@ class TestPoseOptimizePallas:
         assert agree > 0.98, agree
         # outliers must be rejected
         assert not np.asarray(got.inliers)[out_idx].any()
+
+
+def test_analytic_edge_jacobians_match_jacfwd():
+    """The analytic linearizeOplus (types_six_dof_expmap.cpp equivalent)
+    must match the autodiff reference for all edge geometry."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from orb_slam2_comment_tpu.ops import geometry as geo
+    from orb_slam2_comment_tpu.ops import optim
+
+    rng = np.random.default_rng(3)
+    K = (520.0, 517.0, 320.0, 241.0)
+    bf = 40.0
+    for _ in range(8):
+        T = geo.se3_exp(jnp.asarray(rng.normal(0, 0.4, 6), jnp.float32))
+        X = jnp.asarray(rng.normal(0, 2, 3) + [0, 0, 5], jnp.float32)
+        obs = jnp.asarray(rng.normal(0, 1, 3) + [300, 240, 290], jnp.float32)
+        r1, Jc1, Jp1, d1 = optim._edge_jacobians_ad(T, X, obs, K, bf)
+        r2, Jc2, Jp2, d2 = optim._edge_jacobians(T, X, obs, K, bf)
+        for a, b in [(r1, r2), (Jc1, Jc2), (Jp1, Jp2), (d1, d2)]:
+            err = float(jnp.max(jnp.abs(a - b)) / (1e-6 + jnp.max(jnp.abs(a))))
+            assert err < 2e-3, (np.asarray(a), np.asarray(b))
