@@ -387,6 +387,11 @@ def cull_keyframes(m: ms.MapState, kf_id: jax.Array, cfg: SlamConfig) -> ms.MapS
             (k > 0)                        # the origin KF is immortal
             & (k != kf_id)
             & m.kf_valid[k]
+            # SetNotErase protocol: the loop closer holds new KFs until
+            # their detection is harvested (src/KeyFrame.h:101-103) — a
+            # genuine-revisit KF is maximally redundant and was being
+            # culled in the gap between detection dispatch and harvest
+            & ~m.kf_no_erase[k]
             & (n_mp > 0)
             & (n_red > C.KF_REDUNDANT_RATIO * n_mp)
         )

@@ -48,9 +48,13 @@ def _detect_pack(m, db_bow, db_valid, query):
          m.kf_valid.astype(jnp.float32)[:, None]], axis=1)
 
 
-def _loop_dbg(msg):
+def _loop_dbg_on():
     import os
-    if os.environ.get("LOOP_DEBUG", "") not in ("", "0"):
+    return os.environ.get("LOOP_DEBUG", "") not in ("", "0")
+
+
+def _loop_dbg(msg):
+    if _loop_dbg_on():
         print(msg, flush=True)
 
 
@@ -90,8 +94,10 @@ class LoopCloser:
         frame that created it (through a ~28ms-RTT tunnel the two blocking
         pulls dominated KF-frame latency)."""
         if self.tracker.n_kfs < 5:
+            self.tracker.set_kf_erasable(kf_id)
             return False
         if kf_id - self.last_loop_kf < C.LOOP_MIN_KFS_GAP:
+            self.tracker.set_kf_erasable(kf_id)
             return False
         m = self.tracker.map
         # ONE packed program output -> ONE device->host pull on a side
@@ -134,6 +140,9 @@ class LoopCloser:
             elif not force and not packed.is_ready():
                 break
             self._detect_q.popleft()
+            # detection harvested -> the KF becomes erasable again
+            # (KeyFrame::SetErase, the end of the SetNotErase window)
+            self.tracker.set_kf_erasable(kf_id)
             P = fut.result() if fut is not None else np.asarray(packed)
             kmax = P.shape[0]
             W = P[:, :kmax].astype(np.int32)
@@ -170,10 +179,15 @@ class LoopCloser:
                 break
         else:
             return False
+        # the reference's banner (src/LoopClosing.cc:404)
+        print(f"Loop detected! kf={kf_id} <-> {cand}", flush=True)
         self._correct_loop(kf_id, cand, S_cur_cand)
         self.last_loop_kf = kf_id
         self.n_loops_closed += 1
-        # queued detections' covisibility snapshots predate the correction
+        # queued detections' covisibility snapshots predate the correction;
+        # release their SetNotErase holds along with the queue
+        for q_kf, _, _, _ in self._detect_q:
+            self.tracker.set_kf_erasable(q_kf)
         self._detect_q.clear()
         return True
 
@@ -234,20 +248,29 @@ class LoopCloser:
         obs2 = m.kf_obs[k2]
         ok2 = m.kf_feat_valid[k2] & (obs2 >= 0)
         ok1 = m.kf_feat_valid[k1] & (m.kf_obs[k1] >= 0)
-        # Correspondences across the loop gap: full mutual-best Hamming
-        # with ratio + rotation-consistency gates. The reference scopes
-        # this search to shared FeatureVector nodes (SearchByBoW,
-        # src/ORBmatcher.cc:522) — a CPU pruning trick that saves nothing
-        # on TPU, where the dense Hamming matrix is ONE MXU matmul;
-        # mutual-best replaces the node scoping as the precision gate
-        # (true revisit pairs match ~600 of 1000 features at ratio 0.75).
+        # Correspondences across the loop gap: FeatureVector-node-gated
+        # mutual-best Hamming (SearchByBoW(KF, KF), src/ORBmatcher.cc:522).
+        # The node gate is not a CPU pruning trick here — it SCOPES the
+        # Lowe ratio test to same-node competitors. Against the full
+        # feature set the second-best distance on self-similar scenes
+        # defeats the ratio for most true pairs (r4 measurement on
+        # room_loop revisits: 7-19 ungated matches between 800-feature
+        # KFs vs the >=20 gate; the reference fires on the same data).
+        ga = m.kf_group[k1]
+        gb = m.kf_group[k2]
+        row_ungated = (~jnp.any(ga >= 0)) | (~jnp.any(gb >= 0))
+        node_ok = (ga[:, None] == gb[None, :]) & (ga >= 0)[:, None]
         dist = matching.hamming_from_packed(m.kf_desc[k1], m.kf_desc[k2])
+        # one-directional like the reference (vbMatched2 marks used
+        # columns but there is NO mutual-best requirement in
+        # SearchByBoW(KF, KF)); mutual here cost the last 2-3 matches
+        # against the >=20 gate on genuine revisits
         res = matching.match_generic(
             dist,
-            ok1[:, None] & ok2[None, :],
+            ok1[:, None] & ok2[None, :] & (node_ok | row_ungated),
             max_dist=cfg.th_low,
             nn_ratio=0.75,
-            mutual=True,
+            mutual=False,
             angles_a=m.kf_angle[k1],
             angles_b=m.kf_angle[k2],
         )
@@ -293,7 +316,8 @@ class LoopCloser:
                       f"({n_bow} pairs, best {int(rres.n_inliers)} inl)")
             import os
             dump = os.environ.get("LOOP_DUMP", "")
-            if dump and not os.path.exists(dump):
+            if (dump and not os.path.exists(dump)
+                    and kf_id >= int(os.environ.get("LOOP_DUMP_MIN_KF", "0"))):
                 np.savez(dump, Xc1=np.asarray(Xc1), Xc2=np.asarray(Xc2),
                          uv1=np.asarray(uv1), uv2=np.asarray(uv2),
                          oct1=np.asarray(m.kf_octave[k1]),
@@ -367,9 +391,21 @@ class LoopCloser:
         T_cand = m.kf_pose[jnp.asarray(cand)]
         S_cw_corr = S12 @ T_cand
         T_cur = m.kf_pose[jnp.asarray(kf_id)]
+        # correction magnitude diagnostics (LOOP_DEBUG)
+        delta = np.asarray(S_cw_corr @ geo.inv_T(T_cur))
+        dR = delta[:3, :3]
+        ds_scale = float(np.cbrt(max(np.linalg.det(dR), 1e-12)))
+        ang = float(np.degrees(np.arccos(
+            np.clip((np.trace(dR / ds_scale) - 1) / 2, -1, 1))))
+        _loop_dbg(f"[loop] correction kf={kf_id}: |t|="
+                  f"{np.linalg.norm(delta[:3, 3]):.4f}m rot={ang:.2f}deg "
+                  f"scale={ds_scale:.4f}")
 
-        # build Sim3 estimates for every KF (scale 1 on their SE3 poses)
+        # build Sim3 estimates for every KF (scale 1 on their SE3 poses);
+        # keep the PRE-correction poses for the essential graph's edge
+        # measurements (NonCorrectedSim3)
         S0 = m.kf_pose
+        poses_before = m.kf_pose
         # propagate correction to the current covisibility neighborhood:
         # S_i_corr = (T_i T_cur^-1) S_cw_corr  (src/LoopClosing.cc:443-474)
         w = np.asarray(ms.covisibility_weights(m, jnp.asarray(kf_id)))
@@ -421,7 +457,7 @@ class LoopCloser:
         # essential graph: spanning tree + strong covis + the new loop edge
         # + every previously accepted loop edge (src/Optimizer.cc:902-910)
         ei, ej, Sji, valid_edges = _essential_edges(
-            m, trk.n_kfs, kf_id, cand, S12, self.loop_edges,
+            m, poses_before, trk.n_kfs, kf_id, cand, S12, self.loop_edges,
             topc=cfg.essential_topc,
         )
         self.loop_edges.append((cand, kf_id, np.asarray(S12)))
@@ -450,6 +486,13 @@ class LoopCloser:
             )
         # recover SE3 poses (t /= s) and remap points via their reference KF
         S_new = res.S
+        if _loop_dbg_on():
+            dt_g = np.linalg.norm(
+                np.asarray(S_new[:, :3, 3] - m.kf_pose[:, :3, 3]), axis=1)
+            dt_g = dt_g[np.asarray(m.kf_valid)]
+            _loop_dbg(f"[loop] essential graph: cost={float(res.cost):.3f} "
+                      f"pose delta t p50={np.percentile(dt_g, 50):.4f} "
+                      f"max={dt_g.max():.4f}m")
         m = _remap_points_after_graph(m, S_new)
         m = m._replace(kf_pose=jnp.where(
             m.kf_valid[:, None, None], _sim3_to_se3(S_new), m.kf_pose
@@ -481,7 +524,8 @@ class LoopCloser:
         prob, inv_s2 = _build_gba_problem(m, cfg)
         carry = optim.gba_init_carry(prob, inv_s2, cfg.K, cfg.bf)
         # prob.cam_valid/pt_valid are already donation-safe copies
-        self._bg = [prob, inv_s2, carry, 0, prob.cam_valid, prob.pt_valid]
+        self._bg = [prob, inv_s2, carry, 0, prob.cam_valid, prob.pt_valid,
+                    getattr(self.tracker, "compaction_epoch", 0)]
 
     def pump_background(self) -> bool:
         """Advance a pending background GBA by ONE bounded device chunk
@@ -495,7 +539,7 @@ class LoopCloser:
             self._drain_detect(force=False)  # closure counters updated inside
         if self._bg is None:
             return False
-        prob, inv_s2, carry, it, snap_kf, snap_pt = self._bg
+        prob, inv_s2, carry, it, snap_kf, snap_pt, _se = self._bg
         cfg = self.cfg
         carry = optim.gba_chunk(
             prob, inv_s2, carry, jnp.asarray(it, jnp.int32),
@@ -521,11 +565,24 @@ class LoopCloser:
 
     def abort_background(self):
         self._bg = None
+        for q_kf, _, _, _ in self._detect_q:
+            self.tracker.set_kf_erasable(q_kf)
         self._detect_q.clear()
 
     def _apply_background(self):
-        prob, inv_s2, carry, it, snap_kf, snap_pt = self._bg
+        prob, inv_s2, carry, it, snap_kf, snap_pt, snap_epoch = self._bg
         self._bg = None
+        trk0 = self.tracker
+        trk0._flush_all()
+        if getattr(trk0, "compaction_epoch", 0) != snap_epoch:
+            # the point arena was compacted (slots renumbered) while the
+            # GBA chunks were in flight: the snapshot's point ids no
+            # longer address the same landmarks — discard, as the
+            # reference's mbStopGBA discards a GBA the map moved under
+            # (src/LoopClosing.cc:410-423)
+            print("[loop] background GBA discarded: point arena compacted "
+                  "mid-flight", flush=True)
+            return
         cfg = self.cfg
         trk = self.tracker
         res = optim.gba_result(prob, inv_s2, cfg.K, cfg.bf, carry)
@@ -834,8 +891,8 @@ def _remap_points_after_graph(m, S_new):
 
 
 @functools.partial(jax.jit, static_argnames=("topc",))
-def _essential_edges_kernel(m, loop_a, loop_b, loop_ok, cand, kf_id, S12,
-                            topc: int = 32):
+def _essential_edges_kernel(m, meas_poses, loop_a, loop_b, loop_ok, cand,
+                            kf_id, S12, topc: int = 32):
     """Edge sets of the essential graph as ONE device program
     (src/Optimizer.cc:851-983): spanning-tree edges, per-KF top-`topc`
     covisibility edges with weight >= ESSENTIAL_MIN_WEIGHT (the reference
@@ -847,7 +904,15 @@ def _essential_edges_kernel(m, loop_a, loop_b, loop_ok, cand, kf_id, S12,
     of per-KF device calls was O(K) dispatches.
     """
     kmax = m.kf_pose.shape[0]
-    poses = m.kf_pose
+    # Edge MEASUREMENTS come from meas_poses — the poses BEFORE the loop
+    # correction (the reference's NonCorrectedSim3, src/Optimizer.cc:
+    # 851-983). The optimization initializes from the CORRECTED map, so
+    # boundary edges (corrected neighborhood <-> untouched trajectory)
+    # carry the loop's residual and the solver distributes the correction
+    # along the spanning chain. Building measurements from the corrected
+    # poses made every residual zero and the graph a no-op (r4 room_loop:
+    # cost=0.000, pose delta 0, ATE stuck at drift level).
+    poses = meas_poses
     inv_poses = jax.vmap(geo.inv_T)(poses)
 
     def rel_of(i, j):  # pose[j] @ inv(pose[i]), batched
@@ -905,8 +970,8 @@ def _essential_edges_kernel(m, loop_a, loop_b, loop_ok, cand, kf_id, S12,
     return ei, ej, Sji, ok, n_saturated
 
 
-def _essential_edges(m, n_kfs, kf_id, cand, S12, past_loop_edges=(),
-                     topc: int = 32):
+def _essential_edges(m, meas_poses, n_kfs, kf_id, cand, S12,
+                     past_loop_edges=(), topc: int = 32):
     """Host wrapper: pack the surviving loop-edge list to a fixed-width
     device array and call the one-kernel edge builder. Logs every silent
     truncation (SURVEY §7 "no silent caps")."""
@@ -925,7 +990,7 @@ def _essential_edges(m, n_kfs, kf_id, cand, S12, past_loop_edges=(),
         if a < n_kfs and b < n_kfs:
             la[i], lb[i], lok[i] = a, b, True
     ei, ej, Sji, ok, n_sat = _essential_edges_kernel(
-        m, jnp.asarray(la), jnp.asarray(lb), jnp.asarray(lok),
+        m, meas_poses, jnp.asarray(la), jnp.asarray(lb), jnp.asarray(lok),
         jnp.asarray(cand, jnp.int32), jnp.asarray(kf_id, jnp.int32),
         jnp.asarray(S12, jnp.float32), topc=topc,
     )

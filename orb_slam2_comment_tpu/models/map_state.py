@@ -40,6 +40,12 @@ class MapState(NamedTuple):
     kf_group: jax.Array      # [Kmax, N] int32 BoW FeatureVector node id
                              # (-1 = none/not yet indexed; an all -1 row
                              # disables node gating for that KF)
+    kf_no_erase: jax.Array   # [Kmax] bool: protected from KeyFrameCulling
+                             # while the loop closer holds the KF
+                             # (KeyFrame::SetNotErase/SetErase protocol,
+                             # src/KeyFrame.h:101-103, src/LoopClosing.cc:
+                             # 110,257; set at creation, cleared once the
+                             # KF's loop detection is harvested)
     kf_parent: jax.Array     # [Kmax] int32 spanning-tree parent (-1 = root)
     kf_Tcp: jax.Array        # [Kmax, 4, 4] pose relative to parent, frozen at
                              # cull time (KeyFrame::mTcp, src/KeyFrame.cc:540;
@@ -72,6 +78,7 @@ def empty_map(max_kfs: int, max_pts: int, n_feat: int) -> MapState:
         kf_feat_valid=jnp.zeros((max_kfs, n_feat), bool),
         kf_obs=jnp.full((max_kfs, n_feat), -1, jnp.int32),
         kf_group=jnp.full((max_kfs, n_feat), -1, jnp.int32),
+        kf_no_erase=jnp.zeros(max_kfs, bool),
         kf_parent=jnp.full(max_kfs, -1, jnp.int32),
         kf_Tcp=jnp.tile(jnp.eye(4), (max_kfs, 1, 1)),
         pt_pos=jnp.zeros((max_pts, 3), jnp.float32),
@@ -129,6 +136,7 @@ def grow_map(m: MapState, new_kmax: int, new_pmax: int) -> MapState:
         kf_feat_valid=pad_k(m.kf_feat_valid, False),
         kf_obs=pad_k(m.kf_obs, -1),
         kf_group=pad_k(m.kf_group, -1),
+        kf_no_erase=pad_k(m.kf_no_erase, False),
         kf_parent=pad_k(m.kf_parent, -1),
         kf_Tcp=pad_k_eye(m.kf_Tcp),
         pt_pos=pad_p(m.pt_pos, 0),

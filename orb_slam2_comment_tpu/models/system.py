@@ -144,6 +144,10 @@ class System:
         return n
 
     def _on_new_kf(self, kf_id: int):
+        if self.db is None or self.loop_closer is None:
+            # nobody will harvest a detection for this KF: release the
+            # creation-time SetNotErase hold immediately
+            self.tracker.set_kf_erasable(kf_id)
         if self.db is None:
             return
         m = self.tracker.map

@@ -372,6 +372,10 @@ def _create_kf_core(
     m = m._replace(
         kf_pose=put_row(m.kf_pose, Tcw),
         kf_valid=put_row(m.kf_valid, True),
+        # born protected from culling until the loop closer releases it
+        # (SetNotErase at queue push, src/LoopClosing.cc:110; cleared by
+        # Tracker.set_kf_erasable once detection is harvested/skipped)
+        kf_no_erase=put_row(m.kf_no_erase, True),
         kf_frame_id=put_row(m.kf_frame_id, frame_id),
         kf_timestamp=put_row(m.kf_timestamp, timestamp),
         kf_xy=put_row(m.kf_xy, feats.xy),
@@ -792,7 +796,8 @@ X_N_PTS = N_STATS + 3
 X_TRACKED = N_STATS + 4   # final tracked flag (incl. recent-reloc gate)
 X_TCW = N_STATS + 5       # 16 floats
 X_TCR = N_STATS + 21      # 16 floats
-OUT_LEN = N_STATS + 37
+X_COMPACTED = N_STATS + 37  # 1.0 if the device compacted the point arena
+OUT_LEN = N_STATS + 38
 
 
 def _frame_step_core(m, ds: DeviceTrackState, feats, uright, depth, meta, cfg):
@@ -867,6 +872,8 @@ def _frame_step_core(m, ds: DeviceTrackState, feats, uright, depth, meta, cfg):
     n_pts2 = ds.n_pts + n_created.astype(jnp.int32)
 
     mp = ds.mp
+    la_next = jnp.where(tracked, assoc_after, ds.last_assoc)
+    compacted = jnp.asarray(False)
     if cfg.chunked_mapper:
         # a new keyframe preempts the machine (the reference aborts the
         # running local BA and processes the queued KF: mbAbortBA,
@@ -879,6 +886,36 @@ def _frame_step_core(m, ds: DeviceTrackState, feats, uright, depth, meta, cfg):
         m, n_pts2, obs_counts2, mp = lm.mapper_machine_step(
             m, n_pts2, obs_counts2, mp, cfg
         )
+        # Point-arena compaction decided and executed ON DEVICE at a
+        # machine-idle boundary: slot churn (triangulation burns ~8 slots
+        # per survivor) refills the cursor, and the old host-side trigger
+        # fired at a scheduling-dependent frame — compaction renumbers
+        # slots, which slot-order-sensitive selections (local-map cap, BA
+        # window) can see, so a host-timed compaction made real-sequence
+        # runs non-reproducible (r4: room ATE varied 6-106mm run to run).
+        pmax_ = cfg.max_points
+        n_live = jnp.sum(m.pt_valid.astype(jnp.int32))
+        need_compact = (
+            (mp.phase == 0)
+            & (n_pts2 >= int(pmax_ * 0.85))
+            & (n_live * 2 < n_pts2)
+        )
+
+        def _do_compact(op):
+            m_, la_ = op
+            m2, n_live2, remap = ms.compact_points(m_)
+            la2 = jnp.where(
+                la_ >= 0, remap[jnp.clip(la_, 0, pmax_ - 1)], -1)
+            return (m2, la2, n_live2.astype(jnp.int32),
+                    ms.point_observation_counts(m2))
+
+        def _skip_compact(op):
+            m_, la_ = op
+            return m_, la_, n_pts2, obs_counts2
+
+        m, la_next, n_pts2, obs_counts2 = jax.lax.cond(
+            need_compact, _do_compact, _skip_compact, (m, la_next))
+        compacted = need_compact
 
     ds2 = DeviceTrackState(
         T_last=jnp.where(tracked, Tcw, ds.T_last),
@@ -886,7 +923,7 @@ def _frame_step_core(m, ds: DeviceTrackState, feats, uright, depth, meta, cfg):
             tracked, geo.orthonormalize_T(Tcw @ geo.inv_T(ds.T_last)), ds.velocity
         ),
         have_vel=tracked,
-        last_assoc=jnp.where(tracked, assoc_after, ds.last_assoc),
+        last_assoc=la_next,
         ref_kf=ref2,
         n_kfs=ds.n_kfs + need_kf.astype(jnp.int32),
         n_pts=n_pts2,
@@ -909,6 +946,7 @@ def _frame_step_core(m, ds: DeviceTrackState, feats, uright, depth, meta, cfg):
         ]),
         Tcw.reshape(-1).astype(jnp.float32),
         Tcr.reshape(-1).astype(jnp.float32),
+        compacted.astype(jnp.float32)[None],
     ])
     return m, ds2, out
 
@@ -1122,6 +1160,10 @@ class Tracker:
         # System.set_vocabulary_gate; dummy => gate is a no-op)
         self._voc_gate = bow.gate_arrays(None)
         self.n_last_inliers = 0
+        self.compaction_epoch = 0    # bumps on ANY point-arena compaction
+                                     # (host or device); consumers holding
+                                     # point ids outside the map (background
+                                     # GBA snapshot) must check it
         self._next_compact_kfs = 0   # top-tier compaction rate limit
         self._top_tier_warned = False
         self.vo = False              # mbVO: tracking on temporal VO points
@@ -1251,6 +1293,10 @@ class Tracker:
         self.n_last_inliers = int(s[S_N_INL])
         kf_slot = int(s[X_KF_SLOT])
         self.n_pts_host = int(s[X_N_PTS])
+        if len(s) > X_COMPACTED and s[X_COMPACTED] > 0:
+            self.compaction_epoch += 1
+            for cb in self.compact_callbacks:
+                cb()
         if tracked:
             self.state = OK
             self.last_Tcw = Tcw
@@ -1341,6 +1387,15 @@ class Tracker:
                 voc_children=jnp.array(self._voc_gate[0], copy=True),
                 voc_signed=jnp.array(self._voc_gate[1], copy=True),
             )
+
+    def set_kf_erasable(self, kf_id: int):
+        """Release a keyframe to KeyFrameCulling (KeyFrame::SetErase,
+        src/KeyFrame.h:101-103): called once the loop closer has harvested
+        (or skipped) the KF's detection. Host-side map write; in-flight
+        cull chunks at worst keep the KF protected a few frames longer."""
+        self.map = self.map._replace(
+            kf_no_erase=self.map.kf_no_erase.at[kf_id].set(False)
+        )
 
     def set_kf_groups(self, kf_id: int, groups):
         """Backfill a keyframe's FeatureVector node ids (host write after
@@ -1445,12 +1500,16 @@ class Tracker:
         cursor_full = self.n_pts_host >= int(pmax * 0.85)
         if not (need_k or cursor_full):
             return
-        if cursor_full and not need_k:
+        dev_compacts = (cfg.chunked_mapper and cfg.fused_tracking
+                        and self.ds is not None)
+        if cursor_full and not need_k and not dev_compacts:
             # the cursor, not the live count, is what filled up: slot
             # churn (triangulation creates ~8 slots per survivor). If the
             # LIVE population still fits comfortably, compact the arena
             # instead of growing — same capacity, no recompile, bounded
-            # total slots for arbitrarily long runs.
+            # total slots for arbitrarily long runs. (Chunked mode
+            # compacts ON DEVICE at machine-idle boundaries instead —
+            # deterministic position; see _frame_step_core.)
             self._flush_all()
             n_live = int(jnp.sum(self.map.pt_valid))
             if n_live < int(pmax * 0.5):
@@ -1506,6 +1565,7 @@ class Tracker:
             cb()  # e.g. abort background GBA whose snapshot holds old ids
         m2, n_live, remap = ms.compact_points(self.map)
         self.map = m2
+        self.compaction_epoch += 1
         n_live_i = int(n_live)
         print(f"[tracker] compacted point arena: cursor "
               f"{self.n_pts_host} -> {n_live_i} live slots")

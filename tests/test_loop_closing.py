@@ -105,8 +105,8 @@ class TestPersistentLoopEdges:
         )
         S12 = np.eye(4, dtype=np.float32)
         past = [(1, 6, S12)]
-        ei, ej, Sji, ok = lc._essential_edges(m, 8, 7, 0, jnp.asarray(S12),
-                                              past)
+        ei, ej, Sji, ok = lc._essential_edges(m, m.kf_pose, 8, 7, 0,
+                                              jnp.asarray(S12), past)
         pairs = {
             (int(a), int(b))
             for a, b, v in zip(np.asarray(ei), np.asarray(ej), np.asarray(ok))
