@@ -38,6 +38,13 @@ LOOP_CONSISTENCY_TH = 3      # consecutive consistent detections (src/LoopClosin
 MIN_FOUND_RATIO = 0.25       # MapPoint culling: found/visible floor
 MIN_OBS_FOR_POINT = 3        # observations needed to survive early culling
 KF_REDUNDANT_RATIO = 0.9     # KeyFrame culled if 90% of points seen >=3x elsewhere
+# Free cameras with fewer in-window observations than this are FIXED in
+# the local-BA window — a guard with no reference counterpart: the
+# reference's window carries ALL points of its free KFs
+# (src/Optimizer.cc:488-546) so every free camera is well-constrained,
+# while the fixed-shape NP_BA point cap here can strip an old camera's
+# constraints and let it wander (r4 street diagnosis).
+BA_MIN_OBS_PER_FREE_CAM = 30
 KF_REDUNDANT_OBS = 3
 
 # --- Tracking policy (src/Tracking.cc) ----------------------------------

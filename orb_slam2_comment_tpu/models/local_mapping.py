@@ -893,6 +893,19 @@ def build_ba_window(m: ms.MapState, kf_id: jax.Array, cfg: SlamConfig):
     obs_valid = (
         cam_ok[:, None] & feat_ok & (kf_obs_w >= 0) & (pt_local >= 0)
     )
+    # Under-constrained free cameras become FIXED. The reference's window
+    # carries ALL points of the free KFs (src/Optimizer.cc:488-546); the
+    # fixed-shape NP_BA cap here keeps the newest, so an old covisible
+    # camera can lose most of its constraints to the cap and wander under
+    # LM while the window-level cost/inlier guards see only a tiny dent
+    # (r4 street: two isolated KFs bent 0.5-0.8m while tracking error
+    # stayed at 60mm). The current KF (row 0) always stays free.
+    obs_per_cam = jnp.sum(obs_valid, axis=1)
+    weak = (obs_per_cam < C.BA_MIN_OBS_PER_FREE_CAM) & (
+        jnp.arange(NC) != 0
+    )
+    cam_fixed = cam_fixed | weak
+    obs_valid = obs_valid & ~(weak & ~cam_ok)[:, None]
     uvr = jnp.concatenate(
         [m.kf_xy[cid], m.kf_uright[cid][..., None]], axis=-1
     )

@@ -141,7 +141,7 @@ def test_essential_edges_kernel_semantics():
     # so check against the actual constant by scaling the expectation
     S12 = np.eye(4, dtype=np.float32)
     ei, ej, Sji, ok = _essential_edges(
-        m, 8, kf_id=7, cand=0, S12=S12,
+        m, m.kf_pose, 8, kf_id=7, cand=0, S12=S12,
         past_loop_edges=[(1, 6, None)],
     )
     ei, ej, ok = np.asarray(ei), np.asarray(ej), np.asarray(ok)
