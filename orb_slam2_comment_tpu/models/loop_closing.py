@@ -48,6 +48,64 @@ def _detect_pack(m, db_bow, db_valid, query):
          m.kf_valid.astype(jnp.float32)[:, None]], axis=1)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _sim3_gate_kernel(m, k1, k2, cfg: SlamConfig):
+    """ComputeSim3's match + RANSAC gate as ONE program
+    (src/LoopClosing.cc:231-320): FeatureVector-node-gated one-directional
+    SearchByBoW(KF, KF) (src/ORBmatcher.cc:522 — the node gate SCOPES the
+    Lowe ratio test to same-node competitors; against the full feature set
+    the second-best on self-similar scenes defeats the ratio for most
+    true pairs), then the batched Horn Sim3 RANSAC. Returns
+    (scalars [n_bow, ransac_ok, n_inl, n_raw], idx, pair_ok, S12, inliers)
+    so the host gate costs a single small pull."""
+    obs2 = m.kf_obs[k2]
+    ok2 = m.kf_feat_valid[k2] & (obs2 >= 0)
+    ok1 = m.kf_feat_valid[k1] & (m.kf_obs[k1] >= 0)
+    ga = m.kf_group[k1]
+    gb = m.kf_group[k2]
+    row_ungated = (~jnp.any(ga >= 0)) | (~jnp.any(gb >= 0))
+    node_ok = (ga[:, None] == gb[None, :]) & (ga >= 0)[:, None]
+    dist = matching.hamming_from_packed(m.kf_desc[k1], m.kf_desc[k2])
+    res = matching.match_generic(
+        dist,
+        ok1[:, None] & ok2[None, :] & (node_ok | row_ungated),
+        max_dist=cfg.th_low,
+        nn_ratio=0.75,
+        mutual=False,
+        angles_a=m.kf_angle[k1],
+        angles_b=m.kf_angle[k2],
+    )
+    p1 = m.kf_obs[k1]
+    p2 = obs2[res.idx]
+    pmax = cfg.max_points
+    pair_ok = (
+        res.ok
+        & (p1 >= 0) & (p2 >= 0)
+        & m.pt_valid[jnp.clip(p1, 0, pmax - 1)]
+        & m.pt_valid[jnp.clip(p2, 0, pmax - 1)]
+    )
+    X1w = m.pt_pos[jnp.clip(p1, 0, pmax - 1)]
+    X2w = m.pt_pos[jnp.clip(p2, 0, pmax - 1)]
+    Xc1 = geo.transform_points(m.kf_pose[k1], X1w)
+    Xc2 = geo.transform_points(m.kf_pose[k2], X2w)
+    sigma2 = jnp.asarray(
+        [cfg.scale_factor ** (2 * l) for l in range(cfg.n_levels)]
+    )
+    rres = ransac.sim3_ransac(
+        Xc1, Xc2, m.kf_xy[k1], m.kf_xy[k2][res.idx],
+        m.kf_octave[k1], m.kf_octave[k2][res.idx],
+        pair_ok, sigma2, cfg.K, cfg.K,
+        fix_scale=cfg.sensor != MONOCULAR,
+    )
+    scalars = jnp.stack([
+        jnp.sum(pair_ok).astype(jnp.float32),
+        rres.ok.astype(jnp.float32),
+        rres.n_inliers.astype(jnp.float32),
+        jnp.sum(res.ok).astype(jnp.float32),
+    ])
+    return scalars, res.idx, pair_ok, rres.S12, rres.inliers
+
+
 def _loop_dbg_on():
     import os
     return os.environ.get("LOOP_DEBUG", "") not in ("", "0")
@@ -238,79 +296,45 @@ class LoopCloser:
     def _compute_sim3(self, kf_id: int, cand: int):
         """ComputeSim3 (src/LoopClosing.cc:231-400). Returns
         (ok, S12 [4,4]) with S12 mapping candidate-camera coords into
-        current-camera coords."""
+        current-camera coords.
+
+        The match + RANSAC gate runs as ONE device program with ONE small
+        scalar pull (_sim3_gate_kernel): impostor candidates — score-
+        plausible but geometrically wrong pairs the consistency chain
+        lets through on self-similar scenes — are rejected dozens of
+        times per run, and two blocking pulls per attempt dominated the
+        room_loop mean frame time."""
         cfg = self.cfg
         m = self.tracker.map
         k1, k2 = jnp.asarray(kf_id), jnp.asarray(cand)
-        # BoW-node-gated matching between the two KFs (SearchByBoW,
-        # src/ORBmatcher.cc:522). The node mask scopes the ratio test to
-        # same-node candidates — necessary on repetitive scenes.
-        obs2 = m.kf_obs[k2]
-        ok2 = m.kf_feat_valid[k2] & (obs2 >= 0)
-        ok1 = m.kf_feat_valid[k1] & (m.kf_obs[k1] >= 0)
-        # Correspondences across the loop gap: FeatureVector-node-gated
-        # mutual-best Hamming (SearchByBoW(KF, KF), src/ORBmatcher.cc:522).
-        # The node gate is not a CPU pruning trick here — it SCOPES the
-        # Lowe ratio test to same-node competitors. Against the full
-        # feature set the second-best distance on self-similar scenes
-        # defeats the ratio for most true pairs (r4 measurement on
-        # room_loop revisits: 7-19 ungated matches between 800-feature
-        # KFs vs the >=20 gate; the reference fires on the same data).
-        ga = m.kf_group[k1]
-        gb = m.kf_group[k2]
-        row_ungated = (~jnp.any(ga >= 0)) | (~jnp.any(gb >= 0))
-        node_ok = (ga[:, None] == gb[None, :]) & (ga >= 0)[:, None]
-        dist = matching.hamming_from_packed(m.kf_desc[k1], m.kf_desc[k2])
-        # one-directional like the reference (vbMatched2 marks used
-        # columns but there is NO mutual-best requirement in
-        # SearchByBoW(KF, KF)); mutual here cost the last 2-3 matches
-        # against the >=20 gate on genuine revisits
-        res = matching.match_generic(
-            dist,
-            ok1[:, None] & ok2[None, :] & (node_ok | row_ungated),
-            max_dist=cfg.th_low,
-            nn_ratio=0.75,
-            mutual=False,
-            angles_a=m.kf_angle[k1],
-            angles_b=m.kf_angle[k2],
-        )
-        # correspondences: feature i of kf1 (point p1) <-> feature res.idx[i]
-        # of kf2 (point p2)
-        p1 = m.kf_obs[k1]
-        p2 = obs2[res.idx]
-        pmax = cfg.max_points
-        pair_ok = (
-            res.ok
-            & (p1 >= 0) & (p2 >= 0)
-            & m.pt_valid[jnp.clip(p1, 0, pmax - 1)]
-            & m.pt_valid[jnp.clip(p2, 0, pmax - 1)]
-        )
-        n_bow = int(jnp.sum(pair_ok))
+        scalars, res_idx, pair_ok, S12_r, inl_r = _sim3_gate_kernel(
+            m, k1, k2, cfg)
+        sc = np.asarray(scalars)  # the ONE pull of the gate path
+        n_bow, r_ok, r_ninl, n_raw = (int(sc[0]), bool(sc[1] > 0),
+                                      int(sc[2]), int(sc[3]))
         if n_bow < C.LOOP_MIN_MATCHES_BOW:
-            n1 = int(jnp.sum(m.kf_feat_valid[k1] & (m.kf_obs[k1] >= 0)))
-            n2 = int(jnp.sum(ok2))
             _loop_dbg(f"[loop] sim3 kf={kf_id}<->{cand}: bow pairs {n_bow} "
-                      f"< {C.LOOP_MIN_MATCHES_BOW} (kf obs {n1}/{n2}, "
-                      f"raw matches {int(jnp.sum(res.ok))})")
+                      f"< {C.LOOP_MIN_MATCHES_BOW} (raw matches {n_raw})")
             return False, None
-        X1w = m.pt_pos[jnp.clip(p1, 0, pmax - 1)]
-        X2w = m.pt_pos[jnp.clip(p2, 0, pmax - 1)]
+        res = type("R", (), {})()
+        res.idx = res_idx
+        pmax = cfg.max_points
+        p1 = m.kf_obs[k1]
         T1 = m.kf_pose[k1]
         T2 = m.kf_pose[k2]
+        obs2 = m.kf_obs[k2]
+        X1w = m.pt_pos[jnp.clip(p1, 0, pmax - 1)]
         Xc1 = geo.transform_points(T1, X1w)
-        Xc2 = geo.transform_points(T2, X2w)
         uv1 = m.kf_xy[k1]
-        uv2 = m.kf_xy[k2][res.idx]
         sigma2 = jnp.asarray(
             [cfg.scale_factor ** (2 * l) for l in range(cfg.n_levels)]
         )
         fix_scale = cfg.sensor != MONOCULAR
-        rres = ransac.sim3_ransac(
-            Xc1, Xc2, uv1, uv2,
-            m.kf_octave[k1], m.kf_octave[k2][res.idx],
-            pair_ok, sigma2, cfg.K, cfg.K,
-            fix_scale=fix_scale,
-        )
+        rres = type("R", (), {})()
+        rres.ok = r_ok
+        rres.n_inliers = r_ninl
+        rres.S12 = S12_r
+        rres.inliers = inl_r
         if not bool(rres.ok):
             _loop_dbg(f"[loop] sim3 kf={kf_id}<->{cand}: RANSAC failed "
                       f"({n_bow} pairs, best {int(rres.n_inliers)} inl)")
@@ -318,8 +342,12 @@ class LoopCloser:
             dump = os.environ.get("LOOP_DUMP", "")
             if (dump and not os.path.exists(dump)
                     and kf_id >= int(os.environ.get("LOOP_DUMP_MIN_KF", "0"))):
-                np.savez(dump, Xc1=np.asarray(Xc1), Xc2=np.asarray(Xc2),
-                         uv1=np.asarray(uv1), uv2=np.asarray(uv2),
+                p2d = obs2[res.idx]
+                X2d = m.pt_pos[jnp.clip(p2d, 0, pmax - 1)]
+                np.savez(dump, Xc1=np.asarray(Xc1),
+                         Xc2=np.asarray(geo.transform_points(T2, X2d)),
+                         uv1=np.asarray(uv1),
+                         uv2=np.asarray(m.kf_xy[k2][res.idx]),
                          oct1=np.asarray(m.kf_octave[k1]),
                          oct2=np.asarray(m.kf_octave[k2][res.idx]),
                          pair_ok=np.asarray(pair_ok),
