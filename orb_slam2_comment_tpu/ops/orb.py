@@ -626,19 +626,19 @@ def gather_patches_pallas(padded, lyx, interpret: bool = False,
     # Mosaic keeps a scalar-prefetch SMEM copy of the index operands per
     # grid step; past ~1024 keypoints the 1MB SMEM budget overflows
     # (street's 2000-feature config: "Used 1.00M of 1.00M smem, exceeded
-    # by 1.1K"), so larger inputs split into 512-row sub-calls with a
-    # smaller DMA chunk. Calls up to 1024 rows stay ONE ch=64 kernel —
-    # the hardware-validated fast path (chunk=32 grid steps cost ~16ms of
-    # extraction per frame and stalled the whole pipeline into a keyframe
-    # storm when applied unconditionally). Known residue: the monocular
-    # fused program AFTER a capacity-growth recompile can still trip the
-    # 16MB scoped-VMEM limit with the 1024-row call (mono accuracy is
-    # next round's open item anyway; see BENCH_ACCURACY.md).
-    if n > 1024:
+    # by 1.1K"). A single-call [1024, 48, 256] f32 out buffer also sits
+    # at 12.6MB of scoped VMEM, which overflows the 16MB limit once the
+    # surrounding fused program (extraction + tracking + a mapper chunk,
+    # r4) claims its own share — the monocular desk config hit exactly
+    # this. Inputs past 512 rows therefore split into 512-row sub-calls,
+    # KEEPING the hardware-validated ch=64 DMA chunk inside each (the old
+    # >1024 path dropped to chunk=32, whose 16ms grids once stalled the
+    # pipeline into a keyframe storm when applied broadly).
+    if n > 512:
         step = 512
         outs = [
             gather_patches_pallas(padded, lyx[i:i + step], interpret,
-                                  chunk=32)
+                                  chunk=chunk)
             for i in range(0, n, step)
         ]
         return jnp.concatenate(outs, axis=0)
