@@ -45,7 +45,20 @@ KF_REDUNDANT_RATIO = 0.9     # KeyFrame culled if 90% of points seen >=3x elsewh
 # while the fixed-shape NP_BA point cap here can strip an old camera's
 # constraints and let it wander (r4 street diagnosis).
 BA_MIN_OBS_PER_FREE_CAM = 30
+# Per-free-camera anchor quota in the capped BA window: every free camera
+# keeps its oldest QUOTA observed points before the global newest-first
+# fill (r5: replaces the freeze-guard as the primary constraint-coverage
+# mechanism; approximates the reference's uncapped per-KF point sets,
+# src/Optimizer.cc:488-546).
+BA_CAM_ANCHOR_QUOTA = 96
 KF_REDUNDANT_OBS = 3
+# SearchInNeighbors second-degree expansion: each first-degree covisible
+# neighbor contributes its 5 best neighbors (src/LocalMapping.cc:460-471);
+# FUSE_EXT_SLOTS caps the dedup'd extension set (fixed shapes).
+SECOND_DEGREE_NEIGHBORS = 5
+FUSE_EXT_SLOTS = 8
+# chunk width of the mapper machine's fuse phases (targets per chunk)
+FUSE_CHUNK = 5
 
 # --- Tracking policy (src/Tracking.cc) ----------------------------------
 TRACK_MOTION_MIN_MATCHES = 20      # Tracking.cc:899

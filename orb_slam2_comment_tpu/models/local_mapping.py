@@ -835,6 +835,29 @@ def build_ba_window(m: ms.MapState, kf_id: jax.Array, cfg: SlamConfig):
     in_local = in_local & m.pt_valid
     n_cand = jnp.sum(in_local)
 
+    # Per-camera anchor quota (r4 street: a global newest-first cap let old
+    # covisible cameras lose nearly all their constraints and wander — the
+    # reference's window carries ALL points of the free KFs,
+    # src/Optimizer.cc:488-546). Guarantee every free camera its oldest
+    # BA_CAM_ANCHOR_QUOTA observed points (old points are the converged,
+    # well-localized anchors), then fill the remaining capacity newest-first.
+    QUOTA = min(C.BA_CAM_ANCHOR_QUOTA, NP_BA // max(NC_FREE, 1))
+    free_rows = m.kf_obs[jnp.clip(free_ids, 0, kmax - 1)]      # [NC_FREE, N]
+    row_ok = (free_ids >= 0)[:, None] & (free_rows >= 0)
+    row_pt = jnp.clip(free_rows, 0, pmax - 1)
+    row_ok = row_ok & m.pt_valid[row_pt]
+    # oldest = smallest point slot: top_k on negated slot
+    anchor_score = jnp.where(row_ok, pmax - row_pt, 0)
+    av, ai = jax.lax.top_k(anchor_score, min(QUOTA, free_rows.shape[1]))
+    anchor_ids = jnp.where(
+        av > 0,
+        jnp.take_along_axis(row_pt, ai, axis=1),
+        0,
+    )
+    guaranteed = jnp.zeros(pmax, bool).at[anchor_ids.reshape(-1)].set(
+        (av > 0).reshape(-1), mode="drop")
+    guaranteed = guaranteed & in_local
+
     def _compact(_):
         # all candidates fit: stream-compact by cumsum position (cheaper
         # than a top_k over the whole point table — same trick as
@@ -848,6 +871,9 @@ def build_ba_window(m: ms.MapState, kf_id: jax.Array, cfg: SlamConfig):
     def _topk(_):
         pt_score = jnp.where(
             in_local, jnp.arange(pmax, dtype=jnp.int32) + 1, 0)
+        # guaranteed anchors outrank every newest-first candidate; their
+        # count (<= NC_FREE * QUOTA <= NP_BA) always fits
+        pt_score = jnp.where(guaranteed, pt_score + 2 * pmax, pt_score)
         pv, ids = jax.lax.top_k(pt_score, NP_BA)
         return jnp.where(pv > 0, ids, -1)
 
@@ -905,7 +931,8 @@ def build_ba_window(m: ms.MapState, kf_id: jax.Array, cfg: SlamConfig):
         jnp.arange(NC) != 0
     )
     cam_fixed = cam_fixed | weak
-    obs_valid = obs_valid & ~(weak & ~cam_ok)[:, None]
+    # weak cameras become fixed but KEEP their observations — fixed-KF
+    # edges still constrain the points (src/Optimizer.cc:488-546).
     uvr = jnp.concatenate(
         [m.kf_xy[cid], m.kf_uright[cid][..., None]], axis=-1
     )
@@ -955,6 +982,40 @@ def scatter_ba_result(
     return m
 
 
+def _fuse_targets(m: ms.MapState, kf_id: jax.Array, n_fuse: int, n_ext: int):
+    """SearchInNeighbors target set (src/LocalMapping.cc:454-483): the top
+    n_fuse first-degree covisible neighbors PLUS each one's
+    SECOND_DEGREE_NEIGHBORS best covisible neighbors, dedup'd against the
+    first-degree set and the current KF, capped at n_fuse + n_ext slots
+    (-1 = empty). The reference's vpTargetKFs is unbounded; the fixed cap
+    keeps shapes static — n_ext=8 covers the <=50 candidate union on all
+    measured maps because most second-degree neighbors are already
+    first-degree."""
+    kmax = m.kf_pose.shape[0]
+    w = ms.covisibility_weights(m, kf_id)
+    w1v, w1i = jax.lax.top_k(w, n_fuse)
+    ok1 = w1v >= C.COVIS_MIN_WEIGHT
+    first = jnp.where(ok1, w1i, -1).astype(jnp.int32)
+    in_first = jnp.zeros(kmax, bool).at[jnp.clip(first, 0, kmax - 1)].set(ok1)
+
+    def second_row(_, i):
+        wi = ms.covisibility_weights(m, jnp.clip(first[i], 0, kmax - 1))
+        v2, i2 = jax.lax.top_k(wi, C.SECOND_DEGREE_NEIGHBORS)
+        ok2 = ok1[i] & (v2 >= C.COVIS_MIN_WEIGHT)
+        return None, jnp.where(ok2, i2, -1).astype(jnp.int32)
+
+    _, second = jax.lax.scan(second_row, None, jnp.arange(n_fuse))
+    second = second.reshape(-1)
+    cand2 = jnp.zeros(kmax, bool).at[jnp.clip(second, 0, kmax - 1)].set(
+        second >= 0, mode="drop")
+    cand2 = cand2 & ~in_first & (jnp.arange(kmax) != kf_id) & m.kf_valid
+    # rank the extension slots by covisibility with the current KF so the
+    # truncation (if any) drops the least-connected candidates
+    e_v, e_i = jax.lax.top_k(jnp.where(cand2, w + 1, 0), n_ext)
+    ext = jnp.where(e_v > 0, e_i, -1).astype(jnp.int32)
+    return jnp.concatenate([first, ext])
+
+
 # ---------------------------------------------------------------------------
 # fused mapper kernel + host driver
 # ---------------------------------------------------------------------------
@@ -986,13 +1047,16 @@ def _mapper_kernel(m: ms.MapState, kf_id: jax.Array, pt_base: jax.Array,
         tri_body, (m, pt_base), jnp.arange(n_tri)
     )
 
+    fbi = _fuse_targets(m, kf_id, n_fuse, C.FUSE_EXT_SLOTS)
+
     def fuse_body(m, i):
-        en = (nbw[i] >= C.COVIS_MIN_WEIGHT) & (kf_id > 0)
-        m, _ = fuse_into_keyframe(m, kf_id, nbi[i], cfg, enabled=en)
-        m, _ = fuse_into_keyframe(m, nbi[i], kf_id, cfg, enabled=en)
+        en = (fbi[i] >= 0) & (kf_id > 0)
+        tgt = jnp.clip(fbi[i], 0, m.kf_pose.shape[0] - 1)
+        m, _ = fuse_into_keyframe(m, kf_id, tgt, cfg, enabled=en)
+        m, _ = fuse_into_keyframe(m, tgt, kf_id, cfg, enabled=en)
         return m, None
 
-    m, _ = jax.lax.scan(fuse_body, m, jnp.arange(n_fuse))
+    m, _ = jax.lax.scan(fuse_body, m, jnp.arange(fbi.shape[0]))
 
     m = update_point_descriptors(m)
     m = ms.update_point_stats(m, cfg.scale_factor, cfg.n_levels)
@@ -1044,6 +1108,7 @@ class MapperMachine(NamedTuple):
     kf: jax.Array           # i32: keyframe being processed
     nbw: jax.Array          # [n_nb] i32 covisibility weights (phase 1)
     nbi: jax.Array          # [n_nb] i32 neighbor kf ids
+    fbi: jax.Array          # [n_fb] i32 fuse targets incl. 2nd degree (-1 pad)
     ba_cam_ids: jax.Array   # [NC] i32 window cameras (-1 pad)
     ba_pt_ids: jax.Array    # [NP] i32 window points (-1 pad)
     ba_cam_fixed: jax.Array  # [NC] bool
@@ -1063,6 +1128,10 @@ def _machine_dims(cfg: SlamConfig, n_slots: int):
     return n_nb, NC, NP, n_slots
 
 
+def _machine_n_fb(cfg: SlamConfig) -> int:
+    return min(cfg.fuse_neighbors, cfg.max_keyframes) + C.FUSE_EXT_SLOTS
+
+
 def empty_machine(cfg: SlamConfig, n_slots: int) -> MapperMachine:
     n_nb, NC, NP, N = _machine_dims(cfg, n_slots)
     return MapperMachine(
@@ -1070,6 +1139,7 @@ def empty_machine(cfg: SlamConfig, n_slots: int) -> MapperMachine:
         kf=jnp.asarray(-1, jnp.int32),
         nbw=jnp.zeros(n_nb, jnp.int32),
         nbi=jnp.full(n_nb, -1, jnp.int32),
+        fbi=jnp.full(_machine_n_fb(cfg), -1, jnp.int32),
         ba_cam_ids=jnp.full(NC, -1, jnp.int32),
         ba_pt_ids=jnp.full(NP, -1, jnp.int32),
         ba_cam_fixed=jnp.ones(NC, bool),
@@ -1095,10 +1165,9 @@ def _phase_list(cfg: SlamConfig):
             phases.append(("tri", h, n_tri))
     n_fuse = min(cfg.fuse_neighbors, cfg.max_keyframes)
     if n_fuse > 0:
-        h = (n_fuse + 1) // 2
-        phases.append(("fuse", 0, h))
-        if h < n_fuse:
-            phases.append(("fuse", h, n_fuse))
+        n_fb = _machine_n_fb(cfg)
+        for lo in range(0, n_fb, C.FUSE_CHUNK):
+            phases.append(("fuse", lo, min(lo + C.FUSE_CHUNK, n_fb)))
     phases.append(("refresh",))
     if cfg.enable_local_ba:
         phases += [("ba1",), ("ba2",), ("ba3",)]
@@ -1179,7 +1248,11 @@ def mapper_machine_step(m: ms.MapState, n_pts, obs_counts, mp: MapperMachine,
             m = cull_points(m, mp.kf)
             w = ms.covisibility_weights(m, mp.kf)
             nbw, nbi = jax.lax.top_k(w, mp.nbw.shape[0])
-            return (m, mp._replace(nbw=nbw, nbi=nbi.astype(jnp.int32)),
+            fbi = _fuse_targets(
+                m, mp.kf, min(cfg.fuse_neighbors, cfg.max_keyframes),
+                C.FUSE_EXT_SLOTS)
+            return (m, mp._replace(nbw=nbw, nbi=nbi.astype(jnp.int32),
+                                   fbi=fbi),
                     n_pts, oc)
 
         def tri(m, mp, n_pts, oc):
@@ -1212,12 +1285,13 @@ def mapper_machine_step(m: ms.MapState, n_pts, obs_counts, mp: MapperMachine,
             oc = ms.point_observation_counts(m)
 
             def body(m, i):
-                en = (mp.nbw[i] >= C.COVIS_MIN_WEIGHT) & (mp.kf > 0)
+                en = (mp.fbi[i] >= 0) & (mp.kf > 0)
+                tgt = jnp.clip(mp.fbi[i], 0, m.kf_pose.shape[0] - 1)
 
                 def run(m):
-                    m, _ = fuse_into_keyframe(m, mp.kf, mp.nbi[i], cfg,
+                    m, _ = fuse_into_keyframe(m, mp.kf, tgt, cfg,
                                               enabled=en, obs_counts=oc)
-                    m, _ = fuse_into_keyframe(m, mp.nbi[i], mp.kf, cfg,
+                    m, _ = fuse_into_keyframe(m, tgt, mp.kf, cfg,
                                               enabled=en, obs_counts=oc)
                     return m
 

@@ -64,17 +64,34 @@ def _sim3_gate_kernel(m, k1, k2, cfg: SlamConfig):
     ga = m.kf_group[k1]
     gb = m.kf_group[k2]
     row_ungated = (~jnp.any(ga >= 0)) | (~jnp.any(gb >= 0))
+
+    # gate-inactive detection (ADVICE r4): with no vocabulary groups, or a
+    # degenerate single-node grouping (dummy 1-node tree), node_ok stops
+    # scoping the ratio test — fall back to mutual-best as the precision
+    # gate (the pre-node-gate code's behavior) instead of an unscoped
+    # full-set ratio test.
+    def _uniform(g, okm):
+        valid = okm & (g >= 0)
+        mx = jnp.max(jnp.where(valid, g, -1))
+        mn = jnp.min(jnp.where(valid, g, mx))
+        return mx == mn
+
+    gate_inactive = row_ungated | (_uniform(ga, ok1) & _uniform(gb, ok2))
     node_ok = (ga[:, None] == gb[None, :]) & (ga >= 0)[:, None]
     dist = matching.hamming_from_packed(m.kf_desc[k1], m.kf_desc[k2])
+    mask = ok1[:, None] & ok2[None, :] & (node_ok | gate_inactive)
     res = matching.match_generic(
         dist,
-        ok1[:, None] & ok2[None, :] & (node_ok | row_ungated),
+        mask,
         max_dist=cfg.th_low,
         nn_ratio=0.75,
         mutual=False,
         angles_a=m.kf_angle[k1],
         angles_b=m.kf_angle[k2],
     )
+    mut_ok = matching._mutual_best(
+        jnp.where(mask, dist, matching._INF), res.idx, res.ok)
+    res = res._replace(ok=jnp.where(gate_inactive, mut_ok, res.ok))
     p1 = m.kf_obs[k1]
     p2 = obs2[res.idx]
     pmax = cfg.max_points

@@ -263,7 +263,11 @@ class System:
         self.tracker._io_pool.shutdown(wait=False)  # stop the old pull pool
         self.tracker = Tracker(cfg)
         self.mapper = LocalMapper(cfg, self.tracker)
-        self.tracker.new_kf_callbacks.append(self.mapper.process)
+        # same guard as __init__: under chunked+fused the mapper machine
+        # runs inside the frame program; the host callback would
+        # double-map every keyframe after a reset.
+        if not (cfg.chunked_mapper and cfg.fused_tracking):
+            self.tracker.new_kf_callbacks.append(self.mapper.process)
         if self.voc is not None:
             self._init_db()
         self.tracker.new_kf_callbacks.append(self._on_new_kf)

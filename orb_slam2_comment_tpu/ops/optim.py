@@ -488,11 +488,17 @@ def _lba_core(
 
         def cond_fn(s):
             i, stall = s[0], s[1]
-            return (i < n_iters) & (stall < 2)
+            # n_iters + 1 trips: trip 0 evaluates the INCOMING state (not
+            # a step), trips 1..n_iters evaluate+accept the n_iters
+            # candidate steps — so the final candidate is not discarded
+            # and the effective step count matches the reference's 5+10
+            # schedule (ADVICE r4).
+            return (i < n_iters + 1) & (stall < 2)
 
         def body(s):
             (i, stall, cur_T, cur_pts, ref_T, ref_pts, ref_cost, ref_nin,
              lam) = s
+            first = i == 0
             r, Jc, Jp, w, chi2, _ = assemble(cur_T, cur_pts, obs_ok, robust)
             cost_cur, nin_cur = cost_from_chi2(chi2, obs_ok, robust)
             ok = (cost_cur <= ref_cost) & (
@@ -511,12 +517,17 @@ def _lba_core(
 
             lin_T, lin_pts, r, Jc, Jp, w, lin_cost, lin_nin = jax.lax.cond(
                 ok, use_cur, use_ref, 0)
-            lam = jnp.where(ok, jnp.maximum(lam * 0.5, 1e-9),
-                            jnp.minimum(lam * 4.0, 1e6))
+            # trip 0 re-evaluates the incoming state: its trivially-"ok"
+            # outcome must drive neither damping nor the stall counter
+            lam = jnp.where(
+                first, lam,
+                jnp.where(ok, jnp.maximum(lam * 0.5, 1e-9),
+                          jnp.minimum(lam * 4.0, 1e6)))
             new_T, new_pts = solve_step(r, Jc, Jp, w, lam, lin_T, lin_pts)
             improved = (ref_cost - lin_cost) > tol * jnp.maximum(
                 jnp.abs(ref_cost), 1.0)
-            stall = jnp.where(improved, 0, stall + 1)
+            stall = jnp.where(first, stall,
+                              jnp.where(improved, 0, stall + 1))
             return (i + 1, stall, new_T, new_pts, lin_T, lin_pts,
                     jnp.minimum(lin_cost, ref_cost), lin_nin, lam)
 
