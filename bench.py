@@ -150,6 +150,13 @@ def main():
         "p99_ms": round(float(np.percentile(dt, 99)), 2),
         "max_ms": round(float(dt.max()), 2),
     }
+    import os
+    if os.environ.get("BENCH_DUMP"):
+        worst = np.argsort(dt)[-10:][::-1]
+        for i in worst:
+            print(f"# slow frame {i:4d}: {dt[i]:8.1f} ms"
+                  + ("  (incl. end drain)" if i == len(dt) - 1 else ""),
+                  file=sys.stderr)
     st = system.get_tracking_state()
     print(
         f"# timed {n_timed} frames in {wall*1e3:.0f}ms, final state={st}, "

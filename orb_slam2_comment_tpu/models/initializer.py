@@ -38,24 +38,36 @@ class MonocularInitializer:
         if self.ref is None:
             if n_valid > 100:
                 self.ref = frame
+                # last matched position per ref feature — the reference's
+                # mvbPrevMatched (Tracking.cc:597-598): the window search
+                # tracks features FRAME TO FRAME, so the reference frame
+                # can persist while the baseline grows
+                self.prev_xy = self.ref.feats.xy
             return False
         if n_valid <= 100:
             self.ref = None
             return False
-        # refresh the reference if it has gone stale without initializing
-        if frame.frame_id - self.ref.frame_id > 10:
-            self.ref = frame
-            return False
 
-        res = matching.match_window(self.ref.feats, frame.feats, max_dist=cfg.th_low)
-        n_matches = int(jnp.sum(res.ok))
-        # the reference demands 100 matches with its doubled init features
-        # (Tracking.cc:612); with the single fixed budget the equivalent
-        # gate is lower
-        if n_matches < 60:
+        # window search around each ref feature's LAST matched position
+        # (SearchForInitialization semantics, src/ORBmatcher.cc:405-520 +
+        # mvbPrevMatched update Tracking.cc:625-630). The reference drops
+        # its initializer only when matching fails — NOT on age: capping
+        # the pair separation capped the baseline and accepted ~1-degree
+        # parallax geometry (49deg translation-direction error, r5).
+        ref_feats = self.ref.feats._replace(xy=self.prev_xy)
+        res = matching.match_window(ref_feats, frame.feats, max_dist=cfg.th_low)
+        ok_np = np.asarray(res.ok)
+        idx_np = np.asarray(res.idx)
+        n_matches = int(ok_np.sum())
+        if n_matches < 100:
             # (Tracking.cc:600-607: fewer than 100 -> drop the reference)
             self.ref = None
             return False
+        # advance the tracked positions of matched features
+        cur_xy = np.asarray(frame.feats.xy)
+        prev = np.asarray(self.prev_xy).copy()
+        prev[ok_np] = cur_xy[idx_np[ok_np]]
+        self.prev_xy = jnp.asarray(prev)
 
         # correspondences ref->cur
         xy1 = self.ref.feats.xy

@@ -33,21 +33,52 @@ def _scores_kernel(db_bow, db_valid, query):
     return scores, common
 
 
+@functools.partial(jax.jit, static_argnames=("kmax",))
+def _sparse_scores_kernel(post_word, post_kf, post_w, db_valid,
+                          q_words, q_w, kmax):
+    scores, common, _ = bow.inverted_file_query(
+        post_word, post_kf, post_w, q_words, q_w, kmax=kmax)
+    scores = jnp.where(db_valid, scores, -1.0)
+    common = jnp.where(db_valid, common, 0)
+    return scores, common
+
+
+# Vocabularies beyond this word count switch the database to the
+# inverted-file representation (the reference's design point: its ORBvoc
+# has ~1M words, src/KeyFrameDatabase.cc:33-37) — a dense [Kmax, W]
+# matrix at that scale is ~4 GB per 1k keyframes.
+SPARSE_W_THRESHOLD = 16384
+
+
 class KeyFrameDatabase:
     """Holds per-KF BoW vectors + feature word/group tables."""
 
     def __init__(self, voc: bow.Vocabulary, max_kfs: int, n_feat: int):
         self.voc = voc
-        self.bow = jnp.zeros((max_kfs, voc.n_words), jnp.float32)
+        self.sparse = voc.n_words > SPARSE_W_THRESHOLD
+        if self.sparse:
+            self.bow = None
+            self.sp_word = jnp.full((max_kfs, n_feat), voc.n_words,
+                                    jnp.int32)
+            self.sp_w = jnp.zeros((max_kfs, n_feat), jnp.float32)
+        else:
+            self.bow = jnp.zeros((max_kfs, voc.n_words), jnp.float32)
         self.groups = jnp.full((max_kfs, n_feat), -1, jnp.int32)
         self.words = jnp.full((max_kfs, n_feat), -1, jnp.int32)
         self.valid = jnp.zeros(max_kfs, bool)
+        self._postings = None
 
     def add(self, kf_id: int, desc, feat_valid):
         """Transform a keyframe's descriptors and index it (add(),
         src/KeyFrameDatabase.cc:40-47)."""
         words, groups, vec = bow.transform(self.voc, desc, feat_valid)
-        self.bow = self.bow.at[kf_id].set(vec)
+        if self.sparse:
+            uw, ww = bow.sparse_bow(self.voc.word_weight, words)
+            self.sp_word = self.sp_word.at[kf_id].set(uw)
+            self.sp_w = self.sp_w.at[kf_id].set(ww)
+            self._postings = None
+        else:
+            self.bow = self.bow.at[kf_id].set(vec)
         self.groups = self.groups.at[kf_id].set(groups)
         self.words = self.words.at[kf_id].set(words)
         self.valid = self.valid.at[kf_id].set(True)
@@ -55,10 +86,37 @@ class KeyFrameDatabase:
 
     def erase(self, kf_id: int):
         self.valid = self.valid.at[kf_id].set(False)
+        self._postings = None
+
+    def postings(self):
+        """Lazy inverted file: rebuilt (one device sort) after DB edits."""
+        if self._postings is None:
+            self._postings = bow.build_postings(
+                self.sp_word, self.sp_w, self.valid)
+        return self._postings
+
+    def scores_device(self, q_words_feat=None, kf_id=None):
+        """(scores [Kmax], common [Kmax]) as DEVICE arrays for either a
+        stored keyframe (kf_id) or per-feature word ids (q_words_feat)."""
+        kmax = self.valid.shape[0]
+        if self.sparse:
+            if kf_id is not None:
+                qw, qweight = self.sp_word[kf_id], self.sp_w[kf_id]
+            else:
+                qw, qweight = bow.sparse_bow(
+                    self.voc.word_weight, q_words_feat)
+            pw, pk, pv = self.postings()
+            return _sparse_scores_kernel(
+                pw, pk, pv, self.valid, qw, qweight, kmax=kmax)
+        if kf_id is not None:
+            query = self.bow[kf_id]
+        else:
+            query = bow.bow_vector(self.voc, q_words_feat)
+        return _scores_kernel(self.bow, self.valid, query)
 
     def grow(self, new_max_kfs: int):
         """Widen to a larger KF capacity tier (see MapState.grow_map)."""
-        kmax = self.bow.shape[0]
+        kmax = self.valid.shape[0]
         if new_max_kfs <= kmax:
             return
         dk = new_max_kfs - kmax
@@ -67,13 +125,22 @@ class KeyFrameDatabase:
             return jnp.concatenate(
                 [x, jnp.full((dk,) + x.shape[1:], fill, x.dtype)], axis=0)
 
-        self.bow = pad(self.bow, 0)
+        if self.sparse:
+            self.sp_word = pad(self.sp_word, self.voc.n_words)
+            self.sp_w = pad(self.sp_w, 0)
+            self._postings = None
+        else:
+            self.bow = pad(self.bow, 0)
         self.groups = pad(self.groups, -1)
         self.words = pad(self.words, -1)
         self.valid = pad(self.valid, False)
 
-    def _candidates(self, query_vec, exclude_mask, min_score):
-        scores, common = _scores_kernel(self.bow, self.valid, query_vec)
+    def _candidates(self, query_vec, exclude_mask, min_score,
+                    query_words=None):
+        if self.sparse:
+            scores, common = self.scores_device(q_words_feat=query_words)
+        else:
+            scores, common = _scores_kernel(self.bow, self.valid, query_vec)
         scores = np.array(scores)
         common = np.array(common)
         scores[exclude_mask] = -1.0
@@ -95,7 +162,7 @@ class KeyFrameDatabase:
         covisibility; (scores, common) vs the whole DB) — LoopCloser
         passes them so one keyframe's full detection costs two device
         pulls total instead of one per neighbor/candidate."""
-        query = self.bow[kf_id]
+        query = None if self.sparse else self.bow[kf_id]
         # ONE all-pairs covisibility program covers the exclusion row and
         # every candidate's accumulation group (the old per-candidate
         # covisibility_weights loop paid a device round-trip per candidate)
@@ -107,7 +174,9 @@ class KeyFrameDatabase:
         # culled keyframes (KeyFrame::SetBadFlag -> mpKeyFrameDB->erase)
         exclude |= ~np.asarray(m.kf_valid if kf_valid is None else kf_valid)
         if scores_common is None:
-            cand, scores = self._candidates(query, exclude, min_score)
+            cand, scores = self._candidates(
+                query, exclude, min_score,
+                query_words=self.words[kf_id] if self.sparse else None)
         else:
             scores = np.array(scores_common[0], copy=True)
             common = np.array(scores_common[1], copy=True)
@@ -139,16 +208,18 @@ class KeyFrameDatabase:
         return keep[:max_out]
 
     def detect_reloc_candidates(self, query_vec, max_out: int = 5,
-                                valid_mask=None, m: "ms.MapState" = None):
+                                valid_mask=None, m: "ms.MapState" = None,
+                                query_words=None):
         """DetectRelocalizationCandidates (src/KeyFrameDatabase.cc:199-311):
         same word/score gating as the loop path but without the minScore
         floor or covisibility exclusion, then score accumulation over each
         candidate's top-10 covisibility group; keep the best KF of every
         group whose accumulated score > 0.75 * bestAccScore."""
-        exclude = np.zeros(self.bow.shape[0], bool)
+        exclude = np.zeros(self.valid.shape[0], bool)
         if valid_mask is not None:
             exclude |= ~np.asarray(valid_mask)
-        cand, scores = self._candidates(query_vec, exclude, min_score=-1.0)
+        cand, scores = self._candidates(query_vec, exclude, min_score=-1.0,
+                                        query_words=query_words)
         if len(cand) == 0:
             return []
         if m is None:

@@ -317,21 +317,6 @@ def cull_keyframes(m: ms.MapState, kf_id: jax.Array, cfg: SlamConfig) -> ms.MapS
     _, cand = jax.lax.top_k(w, N_CULL_CANDIDATES)
     mono = cfg.sensor == MONOCULAR
 
-    # full KF-KF covisibility weights (one incidence matmul) for the
-    # best-covisible re-parenting of culled KFs' children
-    # (KeyFrame::SetBadFlag candidate-parent search, src/KeyFrame.cc:480-540)
-    inc = jnp.zeros((kmax, pmax), jnp.bfloat16)
-    rows = jnp.repeat(jnp.arange(kmax, dtype=jnp.int32), N)
-    fp = jnp.clip(m.kf_obs.reshape(-1), 0, pmax - 1)
-    ok_obs = (
-        (m.kf_obs.reshape(-1) >= 0)
-        & m.kf_valid.repeat(N)
-        & m.kf_feat_valid.reshape(-1)
-        & m.pt_valid[fp]
-    )
-    inc = inc.at[rows, fp].max(jnp.where(ok_obs, 1.0, 0.0).astype(jnp.bfloat16))
-    W_full = jnp.dot(inc, inc.T, preferred_element_type=jnp.float32)
-
     # Per-candidate redundancy inputs computed BATCHED before the scan
     # (the per-candidate full-table scatters were most of this pass's
     # device time); the sequential semantics — a culled KF stops counting
@@ -352,34 +337,37 @@ def cull_keyframes(m: ms.MapState, kf_id: jax.Array, cfg: SlamConfig) -> ms.MapS
     # octave at which each candidate observes each point (127 = none)
     oct_in = jnp.full((ncand, pmax), 127, jnp.int32).at[cidxN, cand_pid].min(
         jnp.where(cand_seen, m.kf_octave[cand], 127))
-    # support counts: observations by OTHER valid KFs at scale <= oct+1
+    # Scale-support via ONE per-point octave histogram instead of a
+    # [C, Kmax*N] scatter (which sorted 1.5M entries per pass): H[p, o]
+    # counts valid observations of p at octave o; a candidate's support
+    # at threshold t = oct_in+1 is the cumulative count minus its OWN
+    # observations at <= t.
     flat_pt = m.kf_obs.reshape(-1)
     fpa = jnp.clip(flat_pt, 0, pmax - 1)
-    kf_of = jnp.repeat(jnp.arange(kmax, dtype=jnp.int32), N)
     okflat = (
         (flat_pt >= 0) & m.kf_valid.repeat(N) & m.kf_feat_valid.reshape(-1)
     )
-    oct_flat = m.kf_octave.reshape(-1)
-    other6 = (
-        okflat[None, :]
-        & (kf_of[None, :] != cand[:, None])
-        & (oct_flat[None, :] <= oct_in[:, fpa] + 1)
+    oct_flat = jnp.clip(m.kf_octave.reshape(-1), 0, 7)
+    H = jnp.zeros((pmax, 8), jnp.int32).at[fpa, oct_flat].add(
+        jnp.where(okflat, 1, 0))
+    cum0 = jnp.cumsum(H, axis=1)                               # [pmax, 8]
+    # own contribution of each candidate at its points' thresholds
+    thr = jnp.clip(oct_in[cidxN, cand_pid] + 1, 0, 7)          # [C, N]
+    own_ok = (cand_obs >= 0) & m.kf_feat_valid[cand] & m.kf_valid[cand][:, None]
+    own_cnt = jnp.zeros((ncand, pmax), jnp.int32).at[cidxN, cand_pid].add(
+        jnp.where(own_ok & (jnp.clip(m.kf_octave[cand], 0, 7) <= thr), 1, 0)
     )
-    cidxF = jnp.broadcast_to(
-        jnp.arange(ncand, dtype=jnp.int32)[:, None], other6.shape)
-    fpa6 = jnp.broadcast_to(fpa[None, :], other6.shape)
-    n_scale0 = jnp.zeros((ncand, pmax), jnp.int32).at[cidxF, fpa6].add(
-        other6.astype(jnp.int32))
 
     def cull_one(carry, xs):
-        m, total_obs, n_scale = carry
+        m, total_obs, cum = carry
         k, ci = xs
         pid = cand_pid[ci]
         obs_k_ok = cand_ok[ci]
         seen = cand_seen[ci]
 
         considered = seen & (total_obs[pid] > C.KF_REDUNDANT_OBS)
-        redundant = considered & (n_scale[ci, pid] >= C.KF_REDUNDANT_OBS)
+        support = cum[pid, thr[ci]] - own_cnt[ci, pid]
+        redundant = considered & (support >= C.KF_REDUNDANT_OBS)
         n_mp = jnp.sum(seen)
         n_red = jnp.sum(redundant)
 
@@ -415,58 +403,76 @@ def cull_keyframes(m: ms.MapState, kf_id: jax.Array, cfg: SlamConfig) -> ms.MapS
         # dead child here would skip k's Tcp in the walk and corrupt every
         # frame whose reference KF is that child (0.5m-class bursts).
         children = cull & (m.kf_parent == k) & m.kf_valid & (jnp.arange(kmax) != k)
-        cand_mask = (jnp.arange(kmax) == pk) & new_valid
-        new_parent = m.kf_parent
 
-        def reparent_body(_, st):
-            cand_mask, new_parent, ch_left = st
-            Wm = jnp.where(
-                ch_left[:, None] & cand_mask[None, :], W_full, -1.0
+        def do_reparent(new_parent):
+            # full KF-KF covisibility weights (one incidence matmul) for
+            # the best-covisible re-parenting (KeyFrame::SetBadFlag
+            # candidate-parent search, src/KeyFrame.cc:480-540) — built
+            # ONLY when a cull actually fires (rare), under lax.cond
+            inc = jnp.zeros((kmax, pmax), jnp.bfloat16)
+            rows = jnp.repeat(jnp.arange(kmax, dtype=jnp.int32), N)
+            fp = jnp.clip(m.kf_obs.reshape(-1), 0, pmax - 1)
+            ok_obs = (
+                (m.kf_obs.reshape(-1) >= 0)
+                & m.kf_valid.repeat(N)
+                & m.kf_feat_valid.reshape(-1)
+                & m.pt_valid[fp]
             )
-            flat = jnp.argmax(Wm)
-            ci = (flat // kmax).astype(jnp.int32)
-            qi = (flat % kmax).astype(jnp.int32)
-            do = Wm.reshape(-1)[flat] >= C.COVIS_MIN_WEIGHT
-            new_parent = new_parent.at[ci].set(
-                jnp.where(do, qi, new_parent[ci])
-            )
-            cand_mask = cand_mask.at[ci].set(cand_mask[ci] | do)
-            ch_left = ch_left.at[ci].set(ch_left[ci] & ~do)
-            return cand_mask, new_parent, ch_left
+            inc = inc.at[rows, fp].max(
+                jnp.where(ok_obs, 1.0, 0.0).astype(jnp.bfloat16))
+            W_full = jnp.dot(inc, inc.T, preferred_element_type=jnp.float32)
+            cand_mask = (jnp.arange(kmax) == pk) & new_valid
 
-        cand_mask, new_parent, ch_left = jax.lax.fori_loop(
-            0, MAX_REPARENT_CHILDREN, reparent_body,
-            (cand_mask, new_parent, children),
-        )
-        # leftovers (no covisible candidate) -> the culled KF's parent
-        new_parent = jnp.where(ch_left, parent, new_parent)
+            def reparent_body(_, st):
+                cand_mask, new_parent, ch_left = st
+                Wm = jnp.where(
+                    ch_left[:, None] & cand_mask[None, :], W_full, -1.0
+                )
+                flat = jnp.argmax(Wm)
+                ci = (flat // kmax).astype(jnp.int32)
+                qi = (flat % kmax).astype(jnp.int32)
+                do = Wm.reshape(-1)[flat] >= C.COVIS_MIN_WEIGHT
+                new_parent = new_parent.at[ci].set(
+                    jnp.where(do, qi, new_parent[ci])
+                )
+                cand_mask = cand_mask.at[ci].set(cand_mask[ci] | do)
+                ch_left = ch_left.at[ci].set(ch_left[ci] & ~do)
+                return cand_mask, new_parent, ch_left
+
+            cand_mask, new_parent, ch_left = jax.lax.fori_loop(
+                0, MAX_REPARENT_CHILDREN, reparent_body,
+                (cand_mask, new_parent, children),
+            )
+            # leftovers (no covisible candidate) -> the culled KF's parent
+            return jnp.where(ch_left, parent, new_parent)
+
+        new_parent = jax.lax.cond(
+            cull, do_reparent, lambda np_: np_, m.kf_parent)
         # incremental count updates: a culled KF's observations vanish
-        # from total_obs AND from every later candidate's scale-support
+        # from total_obs AND from the octave histogram every later
+        # candidate's scale-support reads
         wgt = jnp.where(m.kf_uright[k] >= 0, 2, 1)
         sub = jnp.zeros(pmax, jnp.int32).at[pid].add(
             jnp.where(obs_k_ok & cull, wgt, 0).astype(jnp.int32)
         )
-        dec = (
-            obs_k_ok[None, :]
-            & (m.kf_octave[k][None, :] <= oct_in[:, pid] + 1)
-            & (cand != k)[:, None]
+        okh = obs_k_ok & (cand_obs[ci] >= 0)
+        dec_h = (
+            okh[:, None]
+            & (jnp.arange(8)[None, :]
+               >= jnp.clip(m.kf_octave[k], 0, 7)[:, None])
         )
-        cidxR = jnp.broadcast_to(
-            jnp.arange(ncand, dtype=jnp.int32)[:, None], dec.shape)
-        pidR = jnp.broadcast_to(pid[None, :], dec.shape)
-        n_scale = n_scale - jnp.zeros(
-            (ncand, pmax), jnp.int32
-        ).at[cidxR, pidR].add(jnp.where(cull, dec, False).astype(jnp.int32))
+        cum = cum - jnp.zeros((pmax, 8), jnp.int32).at[pid].add(
+            jnp.where(cull, dec_h, False).astype(jnp.int32))
         return (m._replace(
             kf_valid=new_valid,
             kf_parent=new_parent,
             kf_Tcp=m.kf_Tcp.at[k].set(
                 jnp.where(cull, Tcp, m.kf_Tcp[k])
             ),
-        ), total_obs - sub, n_scale), None
+        ), total_obs - sub, cum), None
 
     (m, _, _), _ = jax.lax.scan(
-        cull_one, (m, total_obs0, n_scale0),
+        cull_one, (m, total_obs0, cum0),
         (cand, jnp.arange(ncand, dtype=jnp.int32)),
     )
     return m
@@ -797,6 +803,131 @@ def _fuse_points_core(
     ), jnp.sum(dup)
 
 
+
+
+def _fuse_deferred_step(m, rep, acc2, src_kf, dst_kf, cfg, enabled,
+                        obs_counts, chase_n):
+    """One directional Fuse with DEFERRED merge application: instead of
+    rewriting the whole observation table per call (a full-table gather
+    that dominated the fuse chunks), point-replacements accumulate in
+    `rep` and are applied once per chunk by fuse_targets_scan. Reads chase
+    `rep` up to chase_n deep (the number of merges that can precede this
+    call in the chunk), so sequential semantics match the eager core."""
+    pmax = m.pt_pos.shape[0]
+
+    def chase(ids):
+        idc = jnp.clip(ids, 0, pmax - 1)
+        for _ in range(chase_n):
+            idc = rep[idc]
+        return jnp.where(ids >= 0, idc, -1)
+
+    src_pt = chase(m.kf_obs[src_kf])
+    pid = jnp.clip(src_pt, 0, pmax - 1)
+    okp = (src_pt >= 0) & m.pt_valid[pid]
+    X = m.pt_pos[pid]
+    Tcw = m.kf_pose[dst_kf]
+    Xc = geo.transform_points(Tcw, X)
+    uv = geo.project(cfg.K, Xc)
+    in_img = (
+        (Xc[:, 2] > 0.05)
+        & (uv[:, 0] >= 0) & (uv[:, 0] < cfg.width)
+        & (uv[:, 1] >= 0) & (uv[:, 1] < cfg.height)
+    )
+    cam_center = -Tcw[:3, :3].T @ Tcw[:3, 3]
+    vec = X - cam_center
+    dist = jnp.linalg.norm(vec, axis=-1)
+    band = (dist >= 0.8 * m.pt_min_dist[pid]) & (dist <= 1.2 * m.pt_max_dist[pid])
+    visible = okp & in_img & band
+    pred_oct = ms.predict_scale(dist, m.pt_max_dist[pid], cfg.scale_factor,
+                                cfg.n_levels)
+    feats = _kf_feats(m, dst_kf)
+    res = matching.match_projection(
+        proj_xy=uv,
+        proj_valid=visible,
+        proj_desc=m.pt_desc[pid],
+        proj_octave=pred_oct,
+        feats=feats,
+        radius=3.0,
+        scale_factors=jnp.asarray(cfg.orb.scales),
+        max_dist=cfg.th_low,
+    )
+    dst_obs = chase(m.kf_obs[dst_kf])
+    tgt_feat = res.idx
+    existing = dst_obs[tgt_feat]
+    has_existing = (existing >= 0) & m.pt_valid[jnp.clip(existing, 0, pmax - 1)]
+    do = res.ok & okp & (src_pt != existing) & jnp.asarray(enabled)
+
+    # case A: feature free -> add observation (chased row written back)
+    addA = do & ~has_existing
+    new_row = dst_obs.at[tgt_feat].set(
+        jnp.where(addA, src_pt, dst_obs[tgt_feat])
+    )
+    m = m._replace(kf_obs=m.kf_obs.at[dst_kf].set(new_row))
+
+    # case B: duplicate -> merge into the more-observed point
+    dup = do & has_existing
+    exist_c = jnp.clip(existing, 0, pmax - 1)
+    keep_existing = obs_counts[exist_c] >= obs_counts[pid]
+    winner = jnp.where(keep_existing, existing, src_pt)
+    loser = jnp.where(keep_existing, src_pt, existing)
+    lose_c = jnp.clip(loser, 0, pmax - 1)
+    win_c = jnp.clip(winner, 0, pmax - 1)
+    rep = rep.at[lose_c].set(jnp.where(dup, winner, rep[lose_c]))
+    pt_valid = m.pt_valid.at[lose_c].set(
+        jnp.where(dup, False, m.pt_valid[lose_c]))
+    # counter transfer (MapPoint::Replace): the loser may itself have
+    # received transfers earlier in this chunk -> include acc2[loser]
+    upd = jnp.stack(
+        [jnp.where(dup, m.pt_visible[lose_c] + acc2[lose_c, 0], 0),
+         jnp.where(dup, m.pt_found[lose_c] + acc2[lose_c, 1], 0)], axis=-1)
+    acc2 = acc2 + jnp.zeros((pmax, 2), jnp.int32).at[win_c].add(upd)
+    return m._replace(pt_valid=pt_valid), rep, acc2
+
+
+def fuse_targets_scan(m: ms.MapState, center_kf: jax.Array,
+                      targets: jax.Array, cfg: SlamConfig, obs_counts):
+    """SearchInNeighbors over a target slice (both directions per target,
+    src/LocalMapping.cc:484-515) with one deferred merge application at
+    the end. targets: [T] kf ids, -1 = disabled slot."""
+    import math
+
+    pmax = m.pt_pos.shape[0]
+    kmax = m.kf_pose.shape[0]
+    T = targets.shape[0]
+    chase_n = 2 * T
+    rep0 = jnp.arange(pmax, dtype=jnp.int32)
+    acc0 = jnp.zeros((pmax, 2), jnp.int32)
+
+    def body(carry, i):
+        m, rep, acc2 = carry
+        en = (targets[i] >= 0) & (center_kf > 0)
+        tgt = jnp.clip(targets[i], 0, kmax - 1)
+
+        def run(args):
+            m, rep, acc2 = args
+            m, rep, acc2 = _fuse_deferred_step(
+                m, rep, acc2, center_kf, tgt, cfg, en, obs_counts, chase_n)
+            m, rep, acc2 = _fuse_deferred_step(
+                m, rep, acc2, tgt, center_kf, cfg, en, obs_counts, chase_n)
+            return m, rep, acc2
+
+        m, rep, acc2 = jax.lax.cond(en, run, lambda a: a, (m, rep, acc2))
+        return (m, rep, acc2), None
+
+    (m, rep, acc2), _ = jax.lax.scan(
+        body, (m, rep0, acc0), jnp.arange(T))
+    # compose rep to its fixed point (chains <= 2T deep) and apply ONCE
+    for _ in range(max(1, math.ceil(math.log2(max(2 * T, 2))))):
+        rep = rep[rep]
+    kf_obs = jnp.where(
+        m.kf_obs >= 0, rep[jnp.clip(m.kf_obs, 0, pmax - 1)], -1)
+    return m._replace(
+        kf_obs=kf_obs,
+        pt_visible=m.pt_visible + acc2[:, 0],
+        pt_found=m.pt_found + acc2[:, 1],
+    )
+
+
 # ---------------------------------------------------------------------------
 # 5. local BA window construction
 # ---------------------------------------------------------------------------
@@ -991,16 +1122,38 @@ def _fuse_targets(m: ms.MapState, kf_id: jax.Array, n_fuse: int, n_ext: int):
     keeps shapes static — n_ext=8 covers the <=50 candidate union on all
     measured maps because most second-degree neighbors are already
     first-degree."""
+    assert n_fuse <= 31, "bit-packed neighbor mask supports <= 31 rows"
     kmax = m.kf_pose.shape[0]
+    pmax = m.pt_pos.shape[0]
     w = ms.covisibility_weights(m, kf_id)
     w1v, w1i = jax.lax.top_k(w, n_fuse)
     ok1 = w1v >= C.COVIS_MIN_WEIGHT
     first = jnp.where(ok1, w1i, -1).astype(jnp.int32)
     in_first = jnp.zeros(kmax, bool).at[jnp.clip(first, 0, kmax - 1)].set(ok1)
 
+    # All n_fuse neighbors' covisibility rows in ONE pass over the
+    # observation table: pack "point p observed by first-degree neighbor
+    # r" as bit r of a [pmax] mask, gather it once over kf_obs, and
+    # reduce each bit — a scan of n_fuse covisibility_weights calls paid
+    # n_fuse full-table gathers (~12 ms device at the bench shapes).
+    fobs = m.kf_obs[jnp.clip(first, 0, kmax - 1)]             # [n_fuse, N]
+    fok = ok1[:, None] & (fobs >= 0)
+    fpid = jnp.clip(fobs, 0, pmax - 1)
+    fok = fok & m.pt_valid[fpid]
+    bits = jnp.zeros((n_fuse, pmax), jnp.int32).at[
+        jnp.arange(n_fuse)[:, None], fpid
+    ].max(jnp.where(fok, 1, 0))
+    mask_pt = jnp.sum(bits << jnp.arange(n_fuse)[:, None], axis=0)
+    gm = mask_pt[jnp.clip(m.kf_obs, 0, pmax - 1)]             # [kmax, N]
+    gok = (m.kf_obs >= 0) & m.kf_valid[:, None]
+    W2 = jnp.stack([
+        jnp.sum(jnp.where(gok, (gm >> r) & 1, 0), axis=1)
+        for r in range(n_fuse)
+    ])                                                        # [n_fuse, kmax]
+    W2 = W2.at[jnp.arange(n_fuse), jnp.clip(first, 0, kmax - 1)].set(0)
+
     def second_row(_, i):
-        wi = ms.covisibility_weights(m, jnp.clip(first[i], 0, kmax - 1))
-        v2, i2 = jax.lax.top_k(wi, C.SECOND_DEGREE_NEIGHBORS)
+        v2, i2 = jax.lax.top_k(W2[i], C.SECOND_DEGREE_NEIGHBORS)
         ok2 = ok1[i] & (v2 >= C.COVIS_MIN_WEIGHT)
         return None, jnp.where(ok2, i2, -1).astype(jnp.int32)
 
@@ -1048,15 +1201,7 @@ def _mapper_kernel(m: ms.MapState, kf_id: jax.Array, pt_base: jax.Array,
     )
 
     fbi = _fuse_targets(m, kf_id, n_fuse, C.FUSE_EXT_SLOTS)
-
-    def fuse_body(m, i):
-        en = (fbi[i] >= 0) & (kf_id > 0)
-        tgt = jnp.clip(fbi[i], 0, m.kf_pose.shape[0] - 1)
-        m, _ = fuse_into_keyframe(m, kf_id, tgt, cfg, enabled=en)
-        m, _ = fuse_into_keyframe(m, tgt, kf_id, cfg, enabled=en)
-        return m, None
-
-    m, _ = jax.lax.scan(fuse_body, m, jnp.arange(fbi.shape[0]))
+    m = fuse_targets_scan(m, kf_id, fbi, cfg, ms.point_observation_counts(m))
 
     m = update_point_descriptors(m)
     m = ms.update_point_stats(m, cfg.scale_factor, cfg.n_levels)
@@ -1066,6 +1211,7 @@ def _mapper_kernel(m: ms.MapState, kf_id: jax.Array, pt_base: jax.Array,
         res = optim.local_bundle_adjustment(
             prob, _inv_sigma2(cfg), cfg.K, cfg.bf,
             cam_major=True,  # build_ba_window emits repeat(arange(NC), N)
+            n_free=min(cfg.ba_free_kfs, cfg.max_keyframes),
         )
         m = scatter_ba_result(m, res, prob, cam_ids, pt_ids)
         m = cull_orphans(m)
@@ -1283,22 +1429,7 @@ def mapper_machine_step(m: ms.MapState, n_pts, obs_counts, mp: MapperMachine,
             # (the per-call full-table scatter-add was ~40% of this
             # chunk's device time)
             oc = ms.point_observation_counts(m)
-
-            def body(m, i):
-                en = (mp.fbi[i] >= 0) & (mp.kf > 0)
-                tgt = jnp.clip(mp.fbi[i], 0, m.kf_pose.shape[0] - 1)
-
-                def run(m):
-                    m, _ = fuse_into_keyframe(m, mp.kf, tgt, cfg,
-                                              enabled=en, obs_counts=oc)
-                    m, _ = fuse_into_keyframe(m, tgt, mp.kf, cfg,
-                                              enabled=en, obs_counts=oc)
-                    return m
-
-                m = jax.lax.cond(en, run, lambda m: m, m)
-                return m, None
-
-            m, _ = jax.lax.scan(body, m, jnp.arange(lo, hi))
+            m = fuse_targets_scan(m, mp.kf, mp.fbi[lo:hi], cfg, oc)
             return m, mp, n_pts, oc
 
         def refresh(m, mp, n_pts, oc):
@@ -1309,7 +1440,8 @@ def mapper_machine_step(m: ms.MapState, n_pts, obs_counts, mp: MapperMachine,
             inv_s2 = _inv_sigma2(cfg)
             carry = optim.lba_init(prob, inv_s2, cfg.K, cfg.bf)
             carry = optim.lba_iterate(
-                prob, inv_s2, carry, cfg.K, cfg.bf, its1, robust=True)
+                prob, inv_s2, carry, cfg.K, cfg.bf, its1, robust=True,
+                n_free=min(cfg.ba_free_kfs, cfg.max_keyframes))
             mp = _store_carry(mp, carry)._replace(
                 ba_cam_ids=cam_ids, ba_pt_ids=pt_ids,
                 ba_cam_fixed=prob.cam_fixed)
@@ -1321,7 +1453,8 @@ def mapper_machine_step(m: ms.MapState, n_pts, obs_counts, mp: MapperMachine,
             carry = optim.lba_prune(
                 prob, inv_s2, _load_carry(mp), cfg.K, cfg.bf)
             carry = optim.lba_iterate(
-                prob, inv_s2, carry, cfg.K, cfg.bf, its2a, robust=False)
+                prob, inv_s2, carry, cfg.K, cfg.bf, its2a, robust=False,
+                n_free=min(cfg.ba_free_kfs, cfg.max_keyframes))
             return m, _store_carry(mp, carry), n_pts, oc
 
         def ba3(m, mp, n_pts, oc):
@@ -1329,7 +1462,8 @@ def mapper_machine_step(m: ms.MapState, n_pts, obs_counts, mp: MapperMachine,
             inv_s2 = _inv_sigma2(cfg)
             carry = optim.lba_iterate(
                 prob, inv_s2, _load_carry(mp), cfg.K, cfg.bf,
-                its2 - its2a, robust=False)
+                its2 - its2a, robust=False,
+                n_free=min(cfg.ba_free_kfs, cfg.max_keyframes))
             res = optim.lba_finalize(prob, inv_s2, carry, cfg.K, cfg.bf)
             m = scatter_ba_result(m, res, prob, mp.ba_cam_ids, mp.ba_pt_ids)
             m = cull_orphans(m)

@@ -35,6 +35,17 @@ from orb_slam2_comment_tpu.utils.config import MONOCULAR, SlamConfig
 
 
 @jax.jit
+def _detect_pack_sc(m, scores, common):
+    """_detect_pack for a precomputed (scores, common) pair — the
+    sparse/inverted-file database path (the score kernel runs in the DB's
+    own jit; chaining device arrays keeps the one-pull property)."""
+    W = ms.covisibility_matrix(m).astype(jnp.float32)
+    return jnp.concatenate(
+        [W, scores[:, None], common.astype(jnp.float32)[:, None],
+         m.kf_valid.astype(jnp.float32)[:, None]], axis=1)
+
+
+@jax.jit
 def _detect_pack(m, db_bow, db_valid, query):
     """All device-side inputs of one keyframe's loop detection packed
     into a single [K, K+3] f32 buffer: covisibility matrix | BoW scores |
@@ -181,8 +192,12 @@ class LoopCloser:
         # separate arrays stalled ~300-400ms of frame time per keyframe.
         # The packed buffer is a fresh program output, so no aliasing with
         # the donated live map (the bf5b832 class).
-        packed = _detect_pack(m, self.db.bow, self.db.valid,
-                              self.db.bow[kf_id])
+        if self.db.sparse:
+            sc, cm = self.db.scores_device(kf_id=kf_id)
+            packed = _detect_pack_sc(m, sc, cm)
+        else:
+            packed = _detect_pack(m, self.db.bow, self.db.valid,
+                                  self.db.bow[kf_id])
         # pull through the tracker's async IO pool (the same pattern as
         # the per-frame stats pulls): the harvest below then never blocks
         # behind the device's program queue — with the chunked mapper the

@@ -128,7 +128,8 @@ def relocalize(m: ms.MapState, db, frame, cfg: SlamConfig):
     words, groups, vec = bow_mod.transform(
         db.voc, frame.feats.desc, frame.feats.valid
     )
-    candidates = db.detect_reloc_candidates(vec, valid_mask=m.kf_valid, m=m)
+    candidates = db.detect_reloc_candidates(
+        vec, valid_mask=m.kf_valid, m=m, query_words=words)
     if not candidates:
         return False, None, None
     cand = np.full(RELOC_MAX_CANDIDATES, -1, np.int32)

@@ -1194,7 +1194,12 @@ class Tracker:
         # mapper's program stream).
         self._io_pool = concurrent.futures.ThreadPoolExecutor(max_workers=6)
 
-    STATS_BATCH = 8
+    # 16 after the r5 chunk-cost cuts: each pull transaction contends
+    # with program dispatch on the serialized tunnel link for ~25-70ms
+    # (bench BENCH_DUMP: one ~70ms stall every STATS_BATCH frames);
+    # halving the transaction rate halves those windows while the
+    # resolution lag stays well inside MAX_BATCHES
+    STATS_BATCH = int(__import__("os").environ.get("STATS_BATCH", "16"))
     # Force-resolve beyond this many in-flight batches. Deep enough that
     # the host never blocks while the device still has queued work: a
     # blocking resolve with an empty device queue idles the chip for a

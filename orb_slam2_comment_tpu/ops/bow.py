@@ -288,6 +288,94 @@ def l1_score(a: jax.Array, b: jax.Array) -> jax.Array:
     return 1.0 - 0.5 * jnp.sum(jnp.abs(a - b), axis=-1)
 
 
+# ---------------------------------------------------------------------------
+# Sparse BoW representation + inverted-file scoring
+#
+# The dense [K, W] database is a matmul-friendly design for the few-
+# thousand-word vocabularies this repo trains, but the reference's
+# KeyFrameDatabase is an inverted file built for its ~1M-word ORBvoc
+# (src/KeyFrameDatabase.cc:33-37, TemplatedVocabulary.h:241): at that W a
+# dense matrix is ~4 GB per 1k keyframes. The sparse path stores, per KF,
+# its <=N (word, weight) pairs sorted by word — query cost is O(Q * L) in
+# the posting-list length, independent of W.
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def sparse_bow(word_weight: jax.Array, words: jax.Array):
+    """Per-feature word ids [N] -> sorted unique (word, weight) pairs,
+    L1-normalized TF-IDF, padded with word = W (sentinel past any real
+    word id) and weight = 0. Matches _bow_vector_impl's dense vector
+    restricted to its nonzeros."""
+    N = words.shape[0]
+    W = word_weight.shape[0]
+    sw = jnp.sort(jnp.where(words >= 0, words, W))
+    valid = sw < W
+    is_first = jnp.concatenate(
+        [jnp.ones(1, bool), sw[1:] != sw[:-1]]) & valid
+    pos = jnp.cumsum(is_first) - 1                    # unique index
+    uw = jnp.full(N + 1, W, jnp.int32).at[
+        jnp.where(is_first, pos, N)].set(sw, mode="drop")[:N]
+    cnt = jnp.zeros(N + 1, jnp.float32).at[
+        jnp.where(valid, pos, N)].add(
+        jnp.where(valid, 1.0, 0.0), mode="drop")[:N]
+    w = cnt * word_weight[jnp.clip(uw, 0, W - 1)]
+    w = jnp.where(uw < W, w, 0.0)
+    return uw, w / jnp.maximum(jnp.sum(w), 1e-9)
+
+
+def _if_scores_impl(post_word, post_kf, post_w, q_words, q_w, kmax, L):
+    P = post_word.shape[0]
+    starts = jnp.searchsorted(post_word, q_words, side="left")
+    ends = jnp.searchsorted(post_word, q_words, side="right")
+    span = starts[:, None] + jnp.arange(L)[None, :]          # [Q, L]
+    ok = (span < ends[:, None]) & (q_w > 0)[:, None]
+    idx = jnp.clip(span, 0, P - 1)
+    kfid = jnp.clip(post_kf[idx], 0, kmax - 1)
+    vw = post_w[idx]
+    qw = q_w[:, None]
+    # shared-word L1 term: dense l1_score == 0.5 * sum_shared of this
+    contrib = jnp.where(ok, qw + vw - jnp.abs(qw - vw), 0.0)
+    flat_k = kfid.reshape(-1)
+    both = jnp.stack(
+        [contrib.reshape(-1), ok.reshape(-1).astype(jnp.float32)], axis=-1)
+    acc = jnp.zeros((kmax, 2), jnp.float32).at[flat_k].add(both)
+    scores = 0.5 * acc[:, 0]
+    common = acc[:, 1].astype(jnp.int32)
+    n_dropped = jnp.sum(jnp.maximum(ends - starts - L, 0))
+    return scores, common, n_dropped
+
+
+_if_scores_jit = jax.jit(
+    _if_scores_impl, static_argnames=("kmax", "L"))
+
+
+def inverted_file_query(post_word, post_kf, post_w, q_words, q_w,
+                        kmax: int, L: int = 96):
+    """Inverted-file query (DetectLoopCandidates'/Reloc's gathering pass,
+    src/KeyFrameDatabase.cc:76-139): for each query word, walk its
+    posting list (capped at L entries — n_dropped reports overflow; at
+    DBoW2 vocabulary scales lists are short by construction) and
+    accumulate per-KF L1 scores + shared-word counts."""
+    return _if_scores_jit(post_word, post_kf, post_w, q_words, q_w,
+                          kmax=kmax, L=L)
+
+
+@jax.jit
+def build_postings(kf_words: jax.Array, kf_w: jax.Array,
+                   kf_valid: jax.Array):
+    """[Kmax, N] per-KF sorted sparse vectors -> one postings array
+    sorted by word (invalid KFs' entries pushed to the end as sentinel).
+    One device sort of Kmax*N keys, rebuilt lazily after DB changes."""
+    Kmax, N = kf_words.shape
+    flat_w = jnp.where(kf_valid[:, None], kf_words, jnp.int32(2 ** 30))
+    flat_w = flat_w.reshape(-1)
+    order = jnp.argsort(flat_w)
+    return (flat_w[order],
+            jnp.repeat(jnp.arange(Kmax, dtype=jnp.int32), N)[order],
+            kf_w.reshape(-1)[order])
+
+
 def save_vocabulary(path: str, voc: Vocabulary):
     np.savez_compressed(
         path,

@@ -169,6 +169,9 @@ class PoseOptResult(NamedTuple):
 import os as _os
 
 USE_PALLAS_LM = _os.environ.get("USE_PALLAS_LM", "1") not in ("0", "false", "False")
+# Pallas local-BA system assembly (ops/lba_pallas.py); XLA fallback
+# remains the CPU/test path and the reference semantics.
+USE_PALLAS_LBA = _os.environ.get("USE_PALLAS_LBA", "1") not in ("0", "false", "False")
 
 
 @functools.partial(
@@ -301,24 +304,55 @@ def _inv33(M):
     return adj * inv_det[..., None, None]
 
 
+class LBASystem(NamedTuple):
+    """One linearization of the local-BA window, in MXU/VPU-friendly
+    layouts (point axis LAST so every elementwise op tiles (8,128))."""
+
+    Hcc: jax.Array    # [F, 6, 6] free-camera blocks
+    bc: jax.Array     # [F, 6]
+    Hpp9: jax.Array   # [9, Np]  point blocks, rows i*3+j
+    bp3: jax.Array    # [3, Np]
+    E: jax.Array      # [F, 6, 3, Np] cam-point coupling
+    cost: jax.Array   # scalar robust cost at the linearization point
+    n_in: jax.Array   # scalar chi2-inlier count
+
+
 def _lba_core(
     prob: BAProblem,
     inv_sigma2_levels: jax.Array,
     K: tuple,
     bf: float,
     cam_major: bool,
+    n_free: int | None = None,
 ):
-    """Factory for the local-BA LM machinery: returns (lm_step, cost_of)
-    closures over one problem. Shared by the monolithic
-    `local_bundle_adjustment` and the chunked mapper machine
-    (models/local_mapping.mapper_machine_step), whose BA phases re-enter
-    the same LM sequence across several frame programs (P6: the
+    """Factory for the local-BA LM machinery: returns
+    (build_system, cost_of, iterate_da) closures over one problem. Shared
+    by the monolithic `local_bundle_adjustment` and the chunked mapper
+    machine (models/local_mapping.mapper_machine_step), whose BA phases
+    re-enter the same LM sequence across several frame programs (P6: the
     reference's interruptible LocalBundleAdjustment,
-    src/Optimizer.cc:453-778 + mbAbortBA force-stop :517-518)."""
+    src/Optimizer.cc:453-778 + mbAbortBA force-stop :517-518).
+
+    n_free: static count of LEADING camera slots that may be free; slots
+    >= n_free must be fixed (their Jc is zeroed regardless). The reduced
+    camera system is built only over this prefix — with the default
+    16-free/16-fixed window that halves the latency-bound dense solve."""
     Nc, Np = prob.cam_T.shape[0], prob.pts.shape[0]
+    F = Nc if n_free is None else max(1, min(n_free, Nc))
     chi2_th = jnp.where(prob.obs_stereo, C.CHI2_STEREO, C.CHI2_MONO)
     delta = jnp.where(prob.obs_stereo, C.HUBER_STEREO, C.HUBER_MONO)
     batched_jac = jax.vmap(_edge_jacobians, in_axes=(0, 0, 0, None, None))
+    cam_free_mask = (~prob.cam_fixed) & prob.cam_valid
+
+    use_pallas = (
+        USE_PALLAS_LBA
+        and cam_major
+        and jax.default_backend() == "tpu"
+    )
+    if use_pallas:
+        from orb_slam2_comment_tpu.ops import lba_pallas
+
+        prepped = lba_pallas.prep_problem(prob, inv_sigma2_levels, F)
 
     def assemble(cam_T, pts, obs_ok, robust):
         T_o = cam_T[prob.obs_cam]
@@ -330,8 +364,7 @@ def _lba_core(
         chi2 = _edge_chi2(r, inv_s2, comp)
         hw = jnp.where(robust, geo.huber_weight(chi2, delta), 1.0)
         # zero camera Jacobians of fixed/invalid cameras
-        cam_free = (~prob.cam_fixed) & prob.cam_valid
-        Jc = Jc * cam_free[prob.obs_cam, None, None]
+        Jc = Jc * cam_free_mask[prob.obs_cam, None, None]
         w = (inv_s2 * hw)[:, None] * comp  # [O, 3]
         return r, Jc, Jp, w, chi2, depth
 
@@ -345,19 +378,9 @@ def _lba_core(
             prob.obs_oct, prob.obs_stereo, obs_ok, inv_sigma2_levels
         )
         chi2 = _edge_chi2(r, inv_s2, comp)
-        d2 = delta * delta
-        rho = jnp.where(
-            chi2 <= d2,
-            chi2,
-            2.0 * delta * jnp.sqrt(jnp.maximum(chi2, 1e-12)) - d2,
-        )
-        n_in = jnp.sum(obs_ok & (chi2 <= chi2_th))
-        return jnp.sum(jnp.where(robust, rho, chi2)), n_in
+        return cost_from_chi2(chi2, obs_ok, robust)
 
     def cost_from_chi2(chi2, obs_ok, robust):
-        """Robust cost + inlier count reusing an assemble pass's chi2 —
-        avoids a separate residual evaluation (the accept test was ~35%
-        of each LM iteration's device time)."""
         d2 = delta * delta
         rho = jnp.where(
             chi2 <= d2,
@@ -367,21 +390,22 @@ def _lba_core(
         n_in = jnp.sum(obs_ok & (chi2 <= chi2_th))
         return jnp.sum(jnp.where(robust, rho, chi2)), n_in
 
-    def solve_step(r, Jc, Jp, w, lam, cam_T, pts):
+    def build_system_xla(cam_T, pts, obs_ok, robust) -> LBASystem:
         # Block assembly WITHOUT scatters (TPU scatter-add is sort-based
-        # and dominated the whole mapper pass: ~150ms of the ~300ms
-        # keyframe stall came from these five adds). The observation
-        # table is REGULAR in the camera axis (obs_cam = repeat(arange)),
-        # so camera blocks are reshape-sums; the irregular point axis
-        # becomes a per-camera one-hot matmul (MXU) accumulated by scan.
+        # and dominated the whole mapper pass). The observation table is
+        # REGULAR in the camera axis (obs_cam = repeat(arange)), so camera
+        # blocks are reshape-sums; the irregular point axis becomes a
+        # per-camera one-hot matmul (MXU).
+        r, Jc, Jp, w, chi2, _ = assemble(cam_T, pts, obs_ok, robust)
+        cost, n_in = cost_from_chi2(chi2, obs_ok, robust)
         JcW = Jc * w[:, :, None]                      # [O, 3, 6]
         JpW = Jp * w[:, :, None]                      # [O, 3, 3]
         if cam_major:
             N_per = prob.obs_cam.shape[0] // Nc
             Hcc = jnp.einsum("oki,okj->oij", JcW, Jc).reshape(
-                Nc, N_per, 6, 6).sum(1)
+                Nc, N_per, 6, 6).sum(1)[:F]
             bc = -jnp.einsum("oki,ok->oi", JcW, r).reshape(
-                Nc, N_per, 6).sum(1)
+                Nc, N_per, 6).sum(1)[:F]
             # per-point contributions, packed to one [O, 30] matrix:
             # Hpp (9) | bp (3) | E=JcW^T Jp (18)
             hpp_o = jnp.einsum("oki,okj->oij", JpW, Jp).reshape(-1, 9)
@@ -391,99 +415,107 @@ def _lba_core(
                 Nc, N_per, 30)
             # onehot_pt is CONSTANT across LM iterations (closure over the
             # problem layout, built once below): one batched MXU einsum
-            # replaces 5 sort-based scatter-adds per iteration
+            # replaces 5 sort-based scatter-adds per iteration. Output
+            # layout ckp puts the point axis LAST for the Schur math.
             out = jnp.einsum(
-                "cnp,cnk->cpk", onehot_pt, packed_o,
+                "cnp,cnk->ckp", onehot_pt, packed_o,
                 preferred_element_type=jnp.float32,
-            )  # [Nc,Np,30]
-            tot = out.sum(0)
-            Hpp = tot[:, :9].reshape(Np, 3, 3)
-            bp = tot[:, 9:12]
-            E = out[:, :, 12:].reshape(Nc, Np, 6, 3)
+            )  # [Nc,30,Np]
+            Hpp9 = out[:, :9, :].sum(0)
+            bp3 = out[:, 9:12, :].sum(0)
+            E = out[:F, 12:30, :].reshape(F, 6, 3, Np)
         else:
             # general (ragged) layout: scatter-based assembly
             Hcc = jnp.zeros((Nc, 6, 6)).at[prob.obs_cam].add(
                 jnp.einsum("oki,okj->oij", JcW, Jc)
-            )
+            )[:F]
             bc = jnp.zeros((Nc, 6)).at[prob.obs_cam].add(
                 -jnp.einsum("oki,ok->oi", JcW, r)
-            )
+            )[:F]
             Hpp = jnp.zeros((Np, 3, 3)).at[prob.obs_pt].add(
                 jnp.einsum("oki,okj->oij", JpW, Jp)
             )
             bp = jnp.zeros((Np, 3)).at[prob.obs_pt].add(
                 -jnp.einsum("oki,ok->oi", JpW, r)
             )
-            E = jnp.zeros((Nc, Np, 6, 3)).at[prob.obs_cam, prob.obs_pt].add(
+            E4 = jnp.zeros((Nc, Np, 6, 3)).at[prob.obs_cam, prob.obs_pt].add(
                 jnp.einsum("oki,okj->oij", JcW, Jp)
             )
-        # damping
-        Hcc_d = Hcc + lam * jnp.eye(6) * jnp.maximum(
-            jnp.einsum("cii->c", Hcc)[:, None, None] / 6.0, 1e-6
-        )
-        # anchor fixed/invalid cameras: identity rows, zero rhs
-        cam_free = (~prob.cam_fixed) & prob.cam_valid
-        Hcc_d = jnp.where(cam_free[:, None, None], Hcc_d, jnp.eye(6))
-        bc = jnp.where(cam_free[:, None], bc, 0.0)
-        Hpp_d = Hpp + lam * jnp.eye(3) * jnp.maximum(
-            jnp.einsum("pii->p", Hpp)[:, None, None] / 3.0, 1e-6
-        )
-        Hpp_inv = _inv33(Hpp_d)
+            Hpp9 = Hpp.reshape(Np, 9).T
+            bp3 = bp.T
+            E = E4[:F].transpose(0, 2, 3, 1)
+        return LBASystem(Hcc=Hcc, bc=bc, Hpp9=Hpp9, bp3=bp3, E=E,
+                         cost=cost, n_in=n_in)
 
-        EH = jnp.einsum("cpij,pjk->cpik", E, Hpp_inv)       # [Nc,Np,6,3]
-        EH_f = EH.transpose(0, 2, 1, 3).reshape(Nc * 6, Np * 3)
-        E_f = E.transpose(0, 2, 1, 3).reshape(Nc * 6, Np * 3)
-        Hcc_embed = jnp.zeros((Nc * 6, Nc * 6))
-        ci = jnp.arange(Nc)
-        Hcc_embed = Hcc_embed.at[
+    if use_pallas:
+        def build_system(cam_T, pts, obs_ok, robust) -> LBASystem:
+            return lba_pallas.build_system(
+                prepped, cam_T, pts, obs_ok, robust, K, bf)
+    else:
+        build_system = build_system_xla
+
+    def solve_from_system(sys_: LBASystem, lam, cam_T, pts):
+        """One damped Gauss-Newton step from an assembled system: Schur
+        complement on the points, dense Cholesky on the free-camera
+        prefix, back-substitution. Point-axis-last layouts throughout."""
+        # camera damping + anchoring of dynamically-fixed prefix slots
+        Hcc_d = sys_.Hcc + lam * jnp.eye(6) * jnp.maximum(
+            jnp.einsum("cii->c", sys_.Hcc)[:, None, None] / 6.0, 1e-6
+        )
+        cfree = cam_free_mask[:F]
+        Hcc_d = jnp.where(cfree[:, None, None], Hcc_d, jnp.eye(6))
+        bc = jnp.where(cfree[:, None], sys_.bc, 0.0)
+        # point damping + closed-form symmetric 3x3 inverse, SoA over [Np]
+        h = sys_.Hpp9
+        dmp = lam * jnp.maximum((h[0] + h[4] + h[8]) / 3.0, 1e-6) + 1e-8
+        a, b_, c_ = h[0] + dmp, h[1], h[2]
+        d_, e_, f_ = h[3], h[4] + dmp, h[5]
+        g_, hh, i_ = h[6], h[7], h[8] + dmp
+        A = e_ * i_ - f_ * hh
+        B = -(d_ * i_ - f_ * g_)
+        Cc = d_ * hh - e_ * g_
+        det = a * A + b_ * B + c_ * Cc
+        inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-20, 1e-20, det)
+        Hi = jnp.stack([
+            jnp.stack([A, -(b_ * i_ - c_ * hh), (b_ * f_ - c_ * e_)]),
+            jnp.stack([B, (a * i_ - c_ * g_), -(a * f_ - c_ * d_)]),
+            jnp.stack([Cc, -(a * hh - b_ * g_), (a * e_ - b_ * d_)]),
+        ]) * inv_det                                   # [3, 3, Np]
+        E = sys_.E                                     # [F, 6, 3, Np]
+        # EH[c,i,l] = sum_j E[c,i,j] * Hi[j,l] — unrolled elementwise
+        EH = jnp.stack([
+            sum(E[:, :, j, :] * Hi[j, l, :] for j in range(3))
+            for l in range(3)
+        ], axis=2)                                     # [F, 6, 3, Np]
+        A2 = EH.reshape(F * 6, 3 * Np)
+        B2 = E.reshape(F * 6, 3 * Np)
+        ci = jnp.arange(F)
+        Hcc_embed = jnp.zeros((F * 6, F * 6)).at[
             (ci[:, None, None] * 6 + jnp.arange(6)[None, :, None]),
             (ci[:, None, None] * 6 + jnp.arange(6)[None, None, :]),
         ].set(Hcc_d)
-        S_mat = Hcc_embed - EH_f @ E_f.T
-        rhs = bc.reshape(-1) - EH_f @ bp.reshape(-1)
-        dc = jnp.linalg.solve(S_mat + 1e-9 * jnp.eye(Nc * 6), rhs).reshape(Nc, 6)
+        S_mat = Hcc_embed - A2 @ B2.T
+        rhs = bc.reshape(-1) - A2 @ sys_.bp3.reshape(-1)
+        L = jnp.linalg.cholesky(S_mat + 1e-9 * jnp.eye(F * 6))
+        dc = jax.scipy.linalg.cho_solve((L, True), rhs).reshape(F, 6)
         # back-substitute points: dp = Hpp^-1 (bp - E^T dc)
-        Etdc = jnp.einsum("cpij,ci->pj", E, dc)
-        dp = jnp.einsum("pij,pj->pi", Hpp_inv, bp - Etdc)
-
-        cam_T_new = jax.vmap(lambda d, T: geo.se3_exp(d) @ T)(dc, cam_T)
-        cam_T_new = jnp.where(cam_free[:, None, None], cam_T_new, cam_T)
-        pts_new = jnp.where(prob.pt_valid[:, None], pts + dp, pts)
+        t3 = (dc.reshape(-1) @ B2).reshape(3, Np)
+        rp = sys_.bp3 - t3
+        dp3 = jnp.stack([
+            sum(Hi[j, l, :] * rp[j] for j in range(3)) for l in range(3)
+        ])                                             # [3, Np]
+        dcs = jax.vmap(lambda d, T: geo.se3_exp(d) @ T)(dc, cam_T[:F])
+        head = jnp.where(cfree[:, None, None], dcs, cam_T[:F])
+        cam_T_new = jnp.concatenate([head, cam_T[F:]], axis=0)
+        pts_new = jnp.where(prob.pt_valid[:, None], pts + dp3.T, pts)
         return cam_T_new, pts_new
-
-    def lm_step(carry, robust):
-        cam_T, pts, lam, cost, n_in, obs_ok = carry
-        r, Jc, Jp, w, _, _ = assemble(cam_T, pts, obs_ok, robust)
-        cam_T_new, pts_new = solve_step(r, Jc, Jp, w, lam, cam_T, pts)
-        new_cost, new_n_in = cost_of(cam_T_new, pts_new, obs_ok, robust)
-        # Acceptance requires BOTH a cost decrease and a surviving inlier
-        # set. Huber saturation makes "fit a tiny subset perfectly, push
-        # everything else into the linear tail" a LOWER robust cost than
-        # the honest fit, so a single huge step along a weakly-constrained
-        # mode can bend the whole window (street r3: cost 19942->782 with
-        # inliers 19582->217). g2o never encounters this because its
-        # windows are anchored; the fixed-shape window here guards
-        # explicitly: a step may not destroy more than 40% of the current
-        # chi2-inliers.
-        accept = (new_cost < cost) & (
-            new_n_in.astype(jnp.float32)
-            >= 0.6 * n_in.astype(jnp.float32)
-        )
-        cam_T = jnp.where(accept, cam_T_new, cam_T)
-        pts = jnp.where(accept, pts_new, pts)
-        lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-9), jnp.minimum(lam * 4.0, 1e6))
-        cost = jnp.where(accept, new_cost, cost)
-        n_in = jnp.where(accept, new_n_in, n_in)
-        return (cam_T, pts, lam, cost, n_in, obs_ok)
 
     def iterate_da(carry, n_iters, robust, tol):
         """Delayed-acceptance LM: the accept test for step k reuses step
-        k+1's assemble pass (ONE residual+Jacobian evaluation per
-        iteration instead of two — the separate accept-test pass was ~35%
-        of each iteration's device time); on a rejection the
-        linearization re-assembles at the last accepted state under a
-        rare lax.cond branch. Same guards as lm_step (cost decrease +
-        inlier survival) and the same stall-based early termination."""
+        k+1's build_system pass (ONE linearization per iteration instead
+        of two); on a rejection the system re-assembles at the last
+        accepted state under a rare lax.cond branch. Guards: cost decrease
+        + inlier survival; stall-based early termination."""
         cam_T, pts, lam, cost, n_in, obs_ok = carry
 
         def cond_fn(s):
@@ -499,37 +531,33 @@ def _lba_core(
             (i, stall, cur_T, cur_pts, ref_T, ref_pts, ref_cost, ref_nin,
              lam) = s
             first = i == 0
-            r, Jc, Jp, w, chi2, _ = assemble(cur_T, cur_pts, obs_ok, robust)
-            cost_cur, nin_cur = cost_from_chi2(chi2, obs_ok, robust)
-            ok = (cost_cur <= ref_cost) & (
-                nin_cur.astype(jnp.float32)
+            sys_cur = build_system(cur_T, cur_pts, obs_ok, robust)
+            ok = (sys_cur.cost <= ref_cost) & (
+                sys_cur.n_in.astype(jnp.float32)
                 >= 0.6 * ref_nin.astype(jnp.float32)
             )
 
             def use_cur(_):
-                return cur_T, cur_pts, r, Jc, Jp, w, cost_cur, nin_cur
+                return cur_T, cur_pts, sys_cur
 
             def use_ref(_):
-                r2, Jc2, Jp2, w2, chi22, _ = assemble(
+                return ref_T, ref_pts, build_system(
                     ref_T, ref_pts, obs_ok, robust)
-                c2, n2 = cost_from_chi2(chi22, obs_ok, robust)
-                return ref_T, ref_pts, r2, Jc2, Jp2, w2, c2, n2
 
-            lin_T, lin_pts, r, Jc, Jp, w, lin_cost, lin_nin = jax.lax.cond(
-                ok, use_cur, use_ref, 0)
+            lin_T, lin_pts, sys_ = jax.lax.cond(ok, use_cur, use_ref, 0)
             # trip 0 re-evaluates the incoming state: its trivially-"ok"
             # outcome must drive neither damping nor the stall counter
             lam = jnp.where(
                 first, lam,
                 jnp.where(ok, jnp.maximum(lam * 0.5, 1e-9),
                           jnp.minimum(lam * 4.0, 1e6)))
-            new_T, new_pts = solve_step(r, Jc, Jp, w, lam, lin_T, lin_pts)
-            improved = (ref_cost - lin_cost) > tol * jnp.maximum(
+            new_T, new_pts = solve_from_system(sys_, lam, lin_T, lin_pts)
+            improved = (ref_cost - sys_.cost) > tol * jnp.maximum(
                 jnp.abs(ref_cost), 1.0)
             stall = jnp.where(first, stall,
                               jnp.where(improved, 0, stall + 1))
             return (i + 1, stall, new_T, new_pts, lin_T, lin_pts,
-                    jnp.minimum(lin_cost, ref_cost), lin_nin, lam)
+                    jnp.minimum(sys_.cost, ref_cost), sys_.n_in, lam)
 
         s0 = (jnp.asarray(0), jnp.asarray(0), cam_T, pts, cam_T, pts,
               cost, n_in, lam)
@@ -539,7 +567,7 @@ def _lba_core(
         # ACCEPTED state, whose cost/inliers are known
         return (ref_T, ref_pts, lam, ref_cost, ref_nin, obs_ok)
 
-    if cam_major:
+    if cam_major and not use_pallas:
         N_per_ = prob.obs_cam.shape[0] // Nc
         pl_ = prob.obs_pt.reshape(Nc, N_per_)
         # bf16: the one-hot is exact 0/1 and the [Nc, N_per, Np] buffer is
@@ -552,7 +580,7 @@ def _lba_core(
     else:
         onehot_pt = None
 
-    return lm_step, cost_of, iterate_da
+    return build_system, cost_of, iterate_da
 
 
 # local-BA LM carry: (cam_T, pts, lam, cost, n_in, obs_ok)
@@ -570,13 +598,14 @@ def lba_init(prob: BAProblem, inv_sigma2_levels, K, bf, cam_major=True):
 
 def lba_iterate(prob: BAProblem, inv_sigma2_levels, carry, K, bf,
                 n_iters: int, robust: bool, cam_major=True,
-                tol: float = 1e-3):
+                tol: float = 1e-3, n_free=None):
     """Advance the LM carry by up to n_iters steps with early termination
     when two consecutive steps fail to reduce the cost by a relative tol
     (g2o's OptimizationAlgorithmLevenberg terminate criterion — the
     reference's fixed 5+10 schedule usually converges in fewer steps on
     incremental windows, and the saved iterations are pure device time)."""
-    _, _, iterate_da = _lba_core(prob, inv_sigma2_levels, K, bf, cam_major)
+    _, _, iterate_da = _lba_core(prob, inv_sigma2_levels, K, bf,
+                                 cam_major, n_free)
     return iterate_da(carry, n_iters, robust, tol)
 
 
@@ -620,7 +649,7 @@ def lba_finalize(prob: BAProblem, inv_sigma2_levels, carry, K, bf) -> BAResult:
 
 
 @functools.partial(jax.jit, static_argnames=("K", "bf", "iters1", "iters2",
-                                              "cam_major"))
+                                              "cam_major", "n_free"))
 def local_bundle_adjustment(
     prob: BAProblem,
     inv_sigma2_levels: jax.Array,
@@ -629,6 +658,7 @@ def local_bundle_adjustment(
     iters1: int = C.LOCAL_BA_ITS_PHASE1,
     iters2: int = C.LOCAL_BA_ITS_PHASE2,
     cam_major: bool = False,
+    n_free: int | None = None,
 ) -> BAResult:
     """Two-phase local BA: iters1 LM steps, chi2-prune observations, iters2
     more steps, then a final outlier classification
@@ -641,10 +671,10 @@ def local_bundle_adjustment(
     """
     carry = lba_init(prob, inv_sigma2_levels, K, bf, cam_major)
     carry = lba_iterate(prob, inv_sigma2_levels, carry, K, bf, iters1,
-                        robust=True, cam_major=cam_major)
+                        robust=True, cam_major=cam_major, n_free=n_free)
     carry = lba_prune(prob, inv_sigma2_levels, carry, K, bf, cam_major)
     carry = lba_iterate(prob, inv_sigma2_levels, carry, K, bf, iters2,
-                        robust=False, cam_major=cam_major)
+                        robust=False, cam_major=cam_major, n_free=n_free)
     return lba_finalize(prob, inv_sigma2_levels, carry, K, bf)
 
 

@@ -300,7 +300,12 @@ def two_view_init(
     n_inl_total = jnp.sum(inliers)
     ok = (
         (n_best >= C.INIT_MIN_TRIANGULATED)
-        & (n_best > 0.75 * n_inl_total)
+        # the reference demands 90% of the RANSAC inliers triangulate
+        # cleanly (nMinGood = max(0.9*N, minTriangulated),
+        # Initializer.cc:504,721) — the earlier 0.75 accepted frame pairs
+        # whose winning (R,t) hypothesis had a ~50deg translation
+        # direction error (r5 mono diagnosis: KF0 anchored 85mm off)
+        & (n_best > 0.9 * n_inl_total)
         & distinct
         & (med_par > C.INIT_MIN_PARALLAX_DEG)
     )

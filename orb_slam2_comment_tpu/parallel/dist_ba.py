@@ -103,7 +103,20 @@ def distributed_global_ba(
         res = optim.global_bundle_adjustment(
             sharded, inv_sigma2_levels, K, bf, iters=iters, cg_iters=cg_iters
         )
-    return jax.tree.map(lambda x: jax.device_get(x), res)
+    return jax.tree.map(_fetch_global, res)
+
+
+def _fetch_global(x):
+    """device_get that also works under multi-process jax.distributed:
+    a replicated global array's value is any local shard; sharded arrays
+    are allgathered across processes (DCN) first."""
+    if jax.process_count() == 1:
+        return jax.device_get(x)
+    if getattr(x, "is_fully_replicated", False):
+        return np.asarray(x.addressable_shards[0].data)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
 
 
 def distributed_essential_graph(

@@ -28,6 +28,24 @@ def main():
         settings = "/tmp/mono_exp/settings2000.yaml"
     elif VAR == "gate100":
         C.INIT_MIN_TRIANGULATED = 100
+    elif VAR in ("free32", "nn20", "free32nn20"):
+        import dataclasses
+        from orb_slam2_comment_tpu.utils import config as cfgmod
+        orig_load = cfgmod.load_yaml_settings
+
+        def patched(path, sensor):
+            cfg = orig_load(path, sensor)
+            kw = {}
+            if "free32" in VAR:
+                kw.update(ba_free_kfs=32)
+            if "nn20" in VAR:
+                kw.update(tri_neighbors=20, fuse_neighbors=20)
+            return dataclasses.replace(cfg, **kw)
+
+        cfgmod.load_yaml_settings = patched
+        import examples.run_dataset as rd
+        # run_dataset imported load_yaml_settings inside run() from
+        # utils.config, so the monkeypatch above is picked up.
 
     out = f"/tmp/mono_exp/{VAR}"
     os.makedirs(out, exist_ok=True)

@@ -184,7 +184,13 @@ def run_reference(seq: str, workdir: str) -> dict:
     return res
 
 
-def run_ours(seq: str, workdir: str) -> dict:
+def run_ours(seq: str, workdir: str, repeat: int = 1) -> dict:
+    """repeat=2 runs the sequence twice and reports the WARM run's
+    timing: the first run pays one-time jit compiles (the persistent
+    XLA cache makes the second run compile-free — the analogue of the
+    reference's ahead-of-time C++ build). The cold run's wall clock is
+    kept in `cold_wall_s`; trajectories are bit-identical across runs
+    (tests/test_determinism.py)."""
     info = SEQS[seq]
     seq_dir = os.path.join(DATA, seq)
     settings = os.path.join(seq_dir, "settings.yaml")
@@ -200,12 +206,18 @@ def run_ours(seq: str, workdir: str) -> dict:
                "-", settings, seq_dir]
     else:
         raise ValueError(info["kind"])
-    t0 = time.time()
-    p = subprocess.run(cmd, cwd=workdir, capture_output=True, text=True,
-                       timeout=5400, env=env)
-    wall = time.time() - t0
+    cold_wall = None
+    for attempt in range(repeat):
+        t0 = time.time()
+        p = subprocess.run(cmd, cwd=workdir, capture_output=True, text=True,
+                           timeout=5400, env=env)
+        wall = time.time() - t0
+        if attempt == 0 and repeat > 1:
+            cold_wall = wall
     out = p.stdout + p.stderr
     res = {"wall_s": wall, "rc": p.returncode}
+    if cold_wall is not None:
+        res["cold_wall_s"] = cold_wall
     # our drivers print times in ms (examples/run_dataset.py)
     m = re.search(r"median tracking time: ([0-9.e-]+) ms", out)
     if m:
@@ -236,6 +248,9 @@ def main():
     ap.add_argument("--all", action="store_true")
     ap.add_argument("--system", choices=["ref", "ours", "both"],
                     default="both")
+    ap.add_argument("--repeat", type=int, default=2,
+                    help="runs of ours per sequence; timing from the "
+                         "last (warm-compile-cache) run")
     ap.add_argument("--out", default=os.path.join(REPO, "data", "h2h"))
     args = ap.parse_args()
     seqs = list(SEQS) if args.all or not args.seq else args.seq
@@ -252,7 +267,8 @@ def main():
         if args.system in ("ours", "both"):
             print(f"[{seq}] ours ...", flush=True)
             results[seq]["ours"] = run_ours(
-                seq, os.path.join(args.out, seq, "ours"))
+                seq, os.path.join(args.out, seq, "ours"),
+                repeat=args.repeat)
             r = results[seq]["ours"]
             print(f"  -> ate={r.get('ate_rmse_m')} fps={r.get('fps')} "
                   f"rc={r['rc']}", flush=True)
