@@ -97,6 +97,10 @@ def main():
     ):
         system.track_rgbd(frames[i]["image"], frames[i]["depth"],
                           frames[i]["timestamp"])
+        # warm is untimed: force-resolve stats so n_kfs reflects reality
+        # (the batched pull pipeline otherwise lags the host's KF count by
+        # up to MAX_BATCHES*STATS_BATCH frames and overshoots the warmup)
+        system.tracker._flush_upto(i - cfg.pipeline_lag)
         i += 1
     n_warm = i
     system.tracker._flush_all()
@@ -134,9 +138,16 @@ def main():
         system.track_rgbd(im, dm, ts)
         n_timed += 1
         frame_t.append(time.perf_counter())
-    system.tracker._flush_all()
+    t_drain0 = time.perf_counter()
+    system.tracker._flush_upto(1 << 60)
+    t_drain1 = time.perf_counter()
+    system.tracker._drain_mapper()
     frame_t.append(time.perf_counter())
+    print(f"# drain: flush={1e3*(t_drain1-t_drain0):.1f}ms "
+          f"mapper={1e3*(time.perf_counter()-t_drain1):.1f}ms",
+          file=sys.stderr)
     wall = frame_t[-1] - t0
+    drain_ms = (frame_t[-1] - t_drain0) * 1e3
     # per-frame latency distribution: inter-dispatch intervals, with the
     # final drain charged to the last frame (the pipeline hides device
     # latency, so a stall here = a frame whose device work blocked the
@@ -149,6 +160,7 @@ def main():
         "p90_ms": round(float(np.percentile(dt, 90)), 2),
         "p99_ms": round(float(np.percentile(dt, 99)), 2),
         "max_ms": round(float(dt.max()), 2),
+        "drain_ms": round(drain_ms, 1),
     }
     import os
     if os.environ.get("BENCH_DUMP"):

@@ -44,7 +44,10 @@ KF_REDUNDANT_RATIO = 0.9     # KeyFrame culled if 90% of points seen >=3x elsewh
 # (src/Optimizer.cc:488-546) so every free camera is well-constrained,
 # while the fixed-shape NP_BA point cap here can strip an old camera's
 # constraints and let it wander (r4 street diagnosis).
-BA_MIN_OBS_PER_FREE_CAM = 30
+# env-overridable so the guard can be A/B'd off (r5: the per-camera
+# anchor quota below is the primary mechanism; the guard is a backstop)
+BA_MIN_OBS_PER_FREE_CAM = int(
+    __import__("os").environ.get("BA_MIN_OBS_PER_FREE_CAM", "30"))
 # Per-free-camera anchor quota in the capped BA window: every free camera
 # keeps its oldest QUOTA observed points before the global newest-first
 # fill (r5: replaces the freeze-guard as the primary constraint-coverage

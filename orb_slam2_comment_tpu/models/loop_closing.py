@@ -198,13 +198,24 @@ class LoopCloser:
         else:
             packed = _detect_pack(m, self.db.bow, self.db.valid,
                                   self.db.bow[kf_id])
-        # pull through the tracker's async IO pool (the same pattern as
-        # the per-frame stats pulls): the harvest below then never blocks
-        # behind the device's program queue — with the chunked mapper the
-        # queue holds ~10 bounded chunks and a synchronous pull stalled
-        # the frame loop ~0.2-0.9s per keyframe (r4 measurement)
-        pool = getattr(self.tracker, "_io_pool", None)
-        fut = pool.submit(np.asarray, packed) if pool is not None else None
+        # ride the tracker's batched stats transfer (ONE link transaction
+        # per STATS_BATCH frames carries the packs too): a per-KF pull
+        # serialized the tunnel against the device's program stream for
+        # ~28ms each (r5 bench: ~20 detect pulls = ~0.5s of device idle
+        # per 240-frame window)
+        # the side channel rides the fused pipeline's stats batches; the
+        # staged/host mode never enqueues stats, so its packs would wait
+        # for a ship that never comes — keep the pool pull there
+        enq = getattr(self.tracker, "enqueue_side", None)
+        if enq is not None and not getattr(self.tracker.cfg,
+                                           "fused_tracking", False):
+            enq = None
+        if enq is not None:
+            fut = enq(packed.reshape(-1), packed.shape)
+        else:
+            pool = getattr(self.tracker, "_io_pool", None)
+            fut = (pool.submit(np.asarray, packed)
+                   if pool is not None else None)
         self._detect_q.append((kf_id, packed, fut, self._pump_count))
         return self._drain_detect(force=False)
 

@@ -118,20 +118,30 @@ def _reloc_kernel(m: ms.MapState, db_groups: jax.Array, cand_ids: jax.Array,
     return jnp.any(ok), first, Tcw, assoc, n_inl
 
 
-def relocalize(m: ms.MapState, db, frame, cfg: SlamConfig):
+def relocalize(m: ms.MapState, db, frame, cfg: SlamConfig,
+               rank_offset: int = 0):
     """Try to recover the camera pose of a lost frame with ONE fused
     device program over the top BoW candidates.
 
-    Returns (success, Tcw, assoc)."""
+    rank_offset rotates through the ranked candidate list on consecutive
+    failures (see AdaptiveRelocalizer) — the fused analogue of the
+    reference's iterate-until-exhausted outer loop, which keeps giving
+    every remaining candidate more RANSAC budget on each LOST frame
+    (src/Tracking.cc:1405-1462, PnPsolver::iterate 5 its/frame).
+
+    Returns (success, Tcw, assoc, n_candidates)."""
     from orb_slam2_comment_tpu.ops import bow as bow_mod
 
     words, groups, vec = bow_mod.transform(
         db.voc, frame.feats.desc, frame.feats.valid
     )
     candidates = db.detect_reloc_candidates(
-        vec, valid_mask=m.kf_valid, m=m, query_words=words)
+        vec, valid_mask=m.kf_valid, m=m, query_words=words,
+        max_out=4 * RELOC_MAX_CANDIDATES)
     if not candidates:
-        return False, None, None
+        return False, None, None, 0
+    if rank_offset:
+        candidates = candidates[rank_offset:] or candidates
     cand = np.full(RELOC_MAX_CANDIDATES, -1, np.int32)
     k = min(len(candidates), RELOC_MAX_CANDIDATES)
     cand[:k] = candidates[:k]
@@ -139,6 +149,31 @@ def relocalize(m: ms.MapState, db, frame, cfg: SlamConfig):
         m, db.groups, jnp.asarray(cand), frame.feats, frame.uright,
         groups, cfg)
     if not bool(ok_any):
-        return False, None, None
+        return False, None, None, len(candidates) + rank_offset
     i = int(first)
-    return True, Tcw[i], assoc[i]
+    return True, Tcw[i], assoc[i], len(candidates) + rank_offset
+
+
+class AdaptiveRelocalizer:
+    """Stateful retry ladder over relocalize(): each consecutive LOST
+    frame advances rank_offset by RELOC_MAX_CANDIDATES so lower-ranked
+    BoW candidates get their PnP shot once the top page is exhausted,
+    wrapping when the list runs out (the reference exhausts each
+    candidate's RANSAC budget over successive frames rather than
+    retrying only the top 5 forever, src/Tracking.cc:1405-1462)."""
+
+    def __init__(self):
+        self.fail_streak = 0
+        self._n_cand = RELOC_MAX_CANDIDATES
+
+    def reset(self):
+        self.fail_streak = 0
+
+    def __call__(self, m, db, frame, cfg):
+        pages = max(1, -(-self._n_cand // RELOC_MAX_CANDIDATES))
+        offset = (self.fail_streak % pages) * RELOC_MAX_CANDIDATES
+        ok, Tcw, assoc, n_cand = relocalize(
+            m, db, frame, cfg, rank_offset=offset)
+        self._n_cand = max(n_cand, 1)
+        self.fail_streak = 0 if ok else self.fail_streak + 1
+        return ok, Tcw, assoc

@@ -165,7 +165,14 @@ class System:
     def _relocalize(self, frame):
         if self.db is None:
             return False, None, None
-        return relocalize(self.tracker.map, self.db, frame, self.cfg)
+        if not hasattr(self, "_adaptive_reloc"):
+            from orb_slam2_comment_tpu.models.relocalization import (
+                AdaptiveRelocalizer,
+            )
+
+            self._adaptive_reloc = AdaptiveRelocalizer()
+        return self._adaptive_reloc(
+            self.tracker.map, self.db, frame, self.cfg)
 
     def _maybe_auto_reset(self):
         """Lost soon after initialization with <=5 KFs in the map: the map

@@ -763,6 +763,49 @@ def _stack_outs(outs):
     return fn(*outs)
 
 
+_stack_side_cache = {}
+
+
+def _stack_with_side(outs, sides):
+    """Stats batch + side-channel buffers (loop-detection packs) flattened
+    into ONE 1D device array = ONE tunnel transfer. Each pull transaction
+    serializes with the device's program stream on the dev link (~28ms of
+    idle per transaction); folding the per-keyframe detect-pack pulls into
+    the stats cadence removed ~20 transactions per bench window."""
+    key = (len(outs), len(sides), int(sides[0].size))
+    fn = _stack_side_cache.get(key)
+    if fn is None:
+        n_out = len(outs)
+
+        def _impl(*xs):
+            o = jnp.stack(xs[:n_out]).reshape(-1)
+            return jnp.concatenate(
+                [o] + [x.astype(jnp.float32) for x in xs[n_out:]])
+
+        fn = jax.jit(_impl)
+        _stack_side_cache[key] = fn
+    return fn(*outs, *sides)
+
+
+class _SideSlot:
+    """Future-like handle for a side-channel buffer riding the next
+    stats batch."""
+
+    __slots__ = ("_value", "_force")
+
+    def __init__(self, force):
+        self._value = None
+        self._force = force
+
+    def done(self):
+        return self._value is not None
+
+    def result(self):
+        if self._value is None:
+            self._force()
+        return self._value
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0, 3))
 def _mapper_pump(m, n_pts, obs_counts, mp, cfg: SlamConfig):
     """One standalone mapper-machine chunk (drain path — growth,
@@ -1183,7 +1226,8 @@ class Tracker:
         self._upQ = collections.deque()
         self._stageA = collections.deque()    # (frame_id, ts, feats, depth_map)
         self._pending = collections.deque()   # (frame_id, ts, out_array)
-        self._batchQ = collections.deque()    # (entries, future of [B, OUT])
+        self._batchQ = collections.deque()    # (entries, fut, side_slots, meta)
+        self._sideQ = collections.deque()     # (flat_dev_array, shape, slot)
         self._resolved = {}                   # frame_id -> TrackOutput
         # Pull POOL: each device->host read costs a full ~25ms tunnel
         # round trip AND occupies the serialized link. Stats are therefore
@@ -1203,7 +1247,8 @@ class Tracker:
     # Force-resolve beyond this many in-flight batches. Deep enough that
     # the host never blocks while the device still has queued work: a
     # blocking resolve with an empty device queue idles the chip for a
-    # full link round trip.
+    # full link round trip. (3 x STATS_BATCH bounds the host's view of
+    # keyframe events at ~48 frames of lag.)
     MAX_BATCHES = 6
 
     # -- async plumbing ------------------------------------------------------
@@ -1211,6 +1256,24 @@ class Tracker:
         self._pending.append((fid, ts, out))
         if len(self._pending) >= self.STATS_BATCH:
             self._ship_batch()
+
+    SIDE_SLOTS = 2
+
+    def enqueue_side(self, flat_dev, shape):
+        """Attach a device buffer to the NEXT stats batch transfer; the
+        returned slot resolves when that batch lands (used by the loop
+        closer's detect packs — one link transaction instead of one per
+        keyframe)."""
+        slot = _SideSlot(self._force_side)
+        self._sideQ.append((flat_dev, shape, slot))
+        return slot
+
+    def _force_side(self):
+        self._flush_upto(1 << 60)
+        # a side buffer enqueued with no pending frames ships empty-stats
+        while self._sideQ:
+            a, shp, slot = self._sideQ.popleft()
+            slot._value = np.asarray(a).reshape(shp)
 
     def _ship_batch(self):
         if not self._pending:
@@ -1224,13 +1287,39 @@ class Tracker:
         # padding rows are never read
         while len(outs) < self.STATS_BATCH:
             outs.append(outs[-1])
-        stacked = _stack_outs(outs)
+        side_slots = []
+        sides = []
+        while self._sideQ and len(sides) < self.SIDE_SLOTS:
+            a, shp, slot = self._sideQ.popleft()
+            if sides and a.size != sides[0].size:
+                self._sideQ.appendleft((a, shp, slot))
+                break
+            sides.append(a)
+            side_slots.append((shp, slot))
+        if sides:
+            n_real = len(sides)
+            while len(sides) < self.SIDE_SLOTS:
+                sides.append(sides[-1])
+            stacked = _stack_with_side(outs, sides)
+            meta = (len(outs), int(outs[0].shape[0]), int(sides[0].size),
+                    n_real)
+        else:
+            stacked = _stack_outs(outs)
+            meta = None
         fut = self._io_pool.submit(np.asarray, stacked)
-        self._batchQ.append((entries, fut))
+        self._batchQ.append((entries, fut, side_slots, meta))
 
-    def _resolve_batch(self, entries, fut):
+    def _resolve_batch(self, entries, fut, side_slots=(), meta=None):
         arr = fut.result()  # re-raises worker exceptions
-        for (fid, ts, _), row in zip(entries, arr):
+        if meta is not None:
+            B, out_len, S, n_real = meta
+            stats = arr[: B * out_len].reshape(B, out_len)
+            for i, (shp, slot) in enumerate(side_slots[:n_real]):
+                off = B * out_len + i * S
+                slot._value = arr[off: off + S].reshape(shp)
+        else:
+            stats = arr
+        for (fid, ts, _), row in zip(entries, stats):
             self._resolve_entry(fid, ts, row)
 
     def _flush_ready(self, max_batches: Optional[int] = None):
@@ -1239,11 +1328,11 @@ class Tracker:
         if max_batches is None:
             max_batches = self.MAX_BATCHES
         while self._batchQ:
-            entries, fut = self._batchQ[0]
+            entries, fut, side_slots, meta = self._batchQ[0]
             if not fut.done() and len(self._batchQ) <= max_batches:
                 break
             self._batchQ.popleft()
-            self._resolve_batch(entries, fut)
+            self._resolve_batch(entries, fut, side_slots, meta)
 
     def _drain_upload(self, n_keep: int = 0):
         """Dispatch queued-upload frames until at most n_keep remain."""
@@ -1257,9 +1346,10 @@ class Tracker:
             self._finish_stageA_front()
         if self._pending and self._pending[0][0] <= fid:
             self._ship_batch()
-        while self._batchQ and self._batchQ[0][0][0][0] <= fid:
-            entries, fut = self._batchQ.popleft()
-            self._resolve_batch(entries, fut)
+        while self._batchQ and self._batchQ[0][0] and (
+                self._batchQ[0][0][0][0] <= fid):
+            entries, fut, side_slots, meta = self._batchQ.popleft()
+            self._resolve_batch(entries, fut, side_slots, meta)
 
     def _flush_all(self):
         self._flush_upto(1 << 60)
@@ -1272,7 +1362,14 @@ class Tracker:
         (System::Shutdown spin, src/System.cc:301-320)."""
         if self.ds is None or not self.cfg.chunked_mapper:
             return
-        p = int(self.ds.mp.phase) if known_phase is None else known_phase
+        if known_phase is None:
+            # don't pull the phase: int(mp.phase) blocks behind the whole
+            # queued program stream (a ~100ms+ stall at drain time) while
+            # pumping a full pass unconditionally costs ~12 no-op-cheap
+            # dispatches when the machine is already idle
+            p = 1
+        else:
+            p = known_phase
         if p <= 0:
             return
         n_total = lm.machine_phase_count(self.cfg)

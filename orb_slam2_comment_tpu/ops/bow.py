@@ -342,7 +342,10 @@ def _if_scores_impl(post_word, post_kf, post_w, q_words, q_w, kmax, L):
     acc = jnp.zeros((kmax, 2), jnp.float32).at[flat_k].add(both)
     scores = 0.5 * acc[:, 0]
     common = acc[:, 1].astype(jnp.int32)
-    n_dropped = jnp.sum(jnp.maximum(ends - starts - L, 0))
+    # sentinel/pad query slots (weight 0) hit the DB's own pad runs —
+    # they contribute nothing and must not count as dropped postings
+    n_dropped = jnp.sum(
+        jnp.where(q_w > 0, jnp.maximum(ends - starts - L, 0), 0))
     return scores, common, n_dropped
 
 

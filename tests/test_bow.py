@@ -130,3 +130,47 @@ class TestVocabulary:
         assert (w >= 0).all()
         # a real vocabulary spreads descriptors over many words
         assert len(np.unique(w)) > len(w) * 0.3
+
+
+class TestSparseInvertedFile:
+    """Sparse BoW + inverted file (the >16k-word KeyFrameDatabase mode)
+    must reproduce the dense path's L1 scores and shared-word counts."""
+
+    def test_matches_dense_scores(self):
+        import jax.numpy as jnp
+        import numpy as np
+        from orb_slam2_comment_tpu.ops import bow
+
+        r = np.random.default_rng(0)
+        W, N, K = 3000, 120, 12
+        weight = jnp.asarray(r.uniform(0.2, 1.0, W).astype(np.float32))
+        kf_words, kf_w, dense = [], [], []
+        for k in range(K):
+            words = np.where(r.random(N) < 0.9,
+                             r.integers(0, W, N), -1).astype(np.int32)
+            uw, ww = bow.sparse_bow(weight, jnp.asarray(words))
+            kf_words.append(uw)
+            kf_w.append(ww)
+            dense.append(bow._bow_vector_impl(weight, jnp.asarray(words)))
+        kf_words = jnp.stack(kf_words)
+        kf_w = jnp.stack(kf_w)
+        dense = jnp.stack(dense)
+        valid = jnp.asarray(r.random(K) < 0.8)
+
+        pw, pk, pv = bow.build_postings(kf_words, kf_w, valid)
+        q_words = np.where(r.random(N) < 0.9,
+                           r.integers(0, W, N), -1).astype(np.int32)
+        qu, qw = bow.sparse_bow(weight, jnp.asarray(q_words))
+        qd = bow._bow_vector_impl(weight, jnp.asarray(q_words))
+        scores, common, dropped = bow.inverted_file_query(
+            pw, pk, pv, qu, qw, kmax=K)
+        assert int(dropped) == 0
+        ref_scores = np.asarray(bow.l1_score(dense, qd[None, :]))
+        ref_common = np.asarray(
+            jnp.sum((dense > 0) & (qd[None, :] > 0), axis=1))
+        v = np.asarray(valid)
+        np.testing.assert_allclose(
+            np.asarray(scores)[v], ref_scores[v], atol=1e-5)
+        np.testing.assert_array_equal(
+            np.asarray(common)[v], ref_common[v])
+        assert (np.asarray(scores)[~v] == 0).all()

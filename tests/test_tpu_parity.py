@@ -105,3 +105,76 @@ def test_extraction_pallas_matches_xla(shape, n_feat):
     # descriptors bit-exact between gather paths
     mismatch = (da != db).any(axis=1).mean()
     assert mismatch < 0.01, f"{mismatch*100:.2f}% descriptor rows differ"
+
+
+def test_lba_pallas_matches_xla():
+    """Pallas local-BA system assembly vs the XLA build_system path on a
+    bench-shaped window (32 cams x 2048 pts x 32k obs), both robust
+    phases, plus one lba_iterate(5) trajectory comparison."""
+    import orb_slam2_comment_tpu  # noqa: F401
+    import orb_slam2_comment_tpu.ops.optim as om
+    from orb_slam2_comment_tpu.ops import geometry as geo, optim
+
+    NC, NP, N_PER, F = 32, 2048, 1000, 16
+    O = NC * N_PER
+    K = (500.0, 500.0, 320.0, 240.0)
+    BF = 50.0
+    inv_s2 = jnp.asarray([1.0 / (1.2 ** (2 * l)) for l in range(8)])
+    r = np.random.default_rng(0)
+    pts = r.uniform(-6, 6, (NP, 3)).astype(np.float32) + [0, 0, 10]
+    cam_T = np.tile(np.eye(4, dtype=np.float32), (NC, 1, 1))
+    cam_T[:, 0, 3] = -np.linspace(0, 2, NC).astype(np.float32)
+    obs_pt = r.integers(0, NP, (NC, N_PER)).astype(np.int32)
+    uvs = []
+    for c in range(NC):
+        X = geo.transform_points(jnp.asarray(cam_T[c]),
+                                 jnp.asarray(pts[obs_pt[c]]))
+        uvs.append(np.asarray(geo.project_stereo(K, BF, X)))
+    uvr = (np.stack(uvs).reshape(O, 3)
+           + r.normal(0, 0.4, (O, 3)).astype(np.float32))
+    cam_fixed = np.zeros(NC, bool)
+    cam_fixed[F:] = True
+    cam_fixed[3] = True
+    prob = optim.BAProblem(
+        cam_T=jnp.asarray(cam_T),
+        cam_fixed=jnp.asarray(cam_fixed),
+        cam_valid=jnp.ones(NC, bool),
+        pts=jnp.asarray(pts),
+        pt_valid=jnp.ones(NP, bool),
+        obs_cam=jnp.repeat(jnp.arange(NC, dtype=jnp.int32), N_PER),
+        obs_pt=jnp.asarray(obs_pt.reshape(-1)),
+        obs_uvr=jnp.asarray(uvr.astype(np.float32)),
+        obs_oct=jnp.asarray(r.integers(0, 4, O).astype(np.int32)),
+        obs_stereo=jnp.asarray(r.random(O) < 0.7),
+        obs_valid=jnp.asarray(r.random(O) < 0.95),
+    )
+    saved = om.USE_PALLAS_LBA
+    try:
+        om.USE_PALLAS_LBA = False
+        bs_x, _, _ = optim._lba_core(prob, inv_s2, K, BF,
+                                     cam_major=True, n_free=F)
+        om.USE_PALLAS_LBA = True
+        bs_p, _, _ = optim._lba_core(prob, inv_s2, K, BF,
+                                     cam_major=True, n_free=F)
+        for robust in (True, False):
+            sx = jax.jit(lambda r=robust: bs_x(
+                prob.cam_T, prob.pts, prob.obs_valid, r))()
+            sp = jax.jit(lambda r=robust: bs_p(
+                prob.cam_T, prob.pts, prob.obs_valid, r))()
+            for fld in sx._fields:
+                a = np.asarray(getattr(sx, fld), np.float64)
+                b = np.asarray(getattr(sp, fld), np.float64)
+                err = np.abs(a - b).max() / max(np.abs(a).max(), 1e-6)
+                assert err < 1e-3, (fld, err)
+        # trajectory: same cost decrease + inlier count after 5 iters
+        outs = {}
+        for flag in (False, True):
+            om.USE_PALLAS_LBA = flag
+            carry = optim.lba_init(prob, inv_s2, K, BF)
+            outs[flag] = jax.jit(lambda c=carry: optim.lba_iterate(
+                prob, inv_s2, c, K, BF, 5, robust=True, n_free=F))()
+        c_x, c_p = float(outs[False][3]), float(outs[True][3])
+        assert abs(c_x - c_p) / max(abs(c_x), 1.0) < 1e-3, (c_x, c_p)
+        assert int(outs[False][4]) == int(outs[True][4])
+    finally:
+        om.USE_PALLAS_LBA = saved

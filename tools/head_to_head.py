@@ -40,6 +40,11 @@ SEQS = {
     "room_loop": {"kind": "tum_rgbd", "fps": 30.0},
     "desk": {"kind": "tum_rgbd", "fps": 30.0},
     "street": {"kind": "kitti_stereo", "fps": 10.0},
+    # monocular on the SAME desk sequence (both systems' mono_tum).
+    # Scored on the KEYFRAME trajectory with Sim3 alignment — the
+    # reference's mono driver only saves KeyFrameTrajectory.txt
+    # (Examples/Monocular/mono_tum.cc) and mono scale is free.
+    "desk_mono": {"kind": "tum_mono", "fps": 30.0, "dir": "desk"},
 }
 
 
@@ -142,13 +147,16 @@ def eval_kitti(traj_path, gt_path, n_frames, with_scale=False):
 
 def run_reference(seq: str, workdir: str) -> dict:
     info = SEQS[seq]
-    seq_dir = os.path.join(DATA, seq)
+    seq_dir = os.path.join(DATA, info.get("dir", seq))
     settings = os.path.join(seq_dir, "settings.yaml")
     os.makedirs(workdir, exist_ok=True)
     if info["kind"] == "tum_rgbd":
         exe = os.path.join(REF_BUILD, "Examples", "RGB-D", "rgbd_tum")
         cmd = [exe, REF_VOCAB, settings, seq_dir,
                os.path.join(seq_dir, "associations.txt")]
+    elif info["kind"] == "tum_mono":
+        exe = os.path.join(REF_BUILD, "Examples", "Monocular", "mono_tum")
+        cmd = [exe, REF_VOCAB, settings, seq_dir]
     elif info["kind"] == "kitti_stereo":
         exe = os.path.join(REF_BUILD, "Examples", "Stereo", "stereo_kitti")
         cmd = [exe, REF_VOCAB, settings, seq_dir]
@@ -170,6 +178,15 @@ def run_reference(seq: str, workdir: str) -> dict:
     res["loops"] = len(re.findall(r"Loop detected", out))
     tail = "\n".join(out.strip().splitlines()[-15:])
     res["log_tail"] = tail
+    if info["kind"] == "tum_mono":
+        traj_path = os.path.join(workdir, "KeyFrameTrajectory.txt")
+        if os.path.exists(traj_path):
+            res.update(eval_tum(traj_path,
+                                os.path.join(seq_dir, "groundtruth.txt"),
+                                with_scale=True))
+        else:
+            res["error"] = "no trajectory written"
+        return res
     traj_path = os.path.join(workdir, "CameraTrajectory.txt")
     if os.path.exists(traj_path):
         if info["kind"] == "tum_rgbd":
@@ -192,7 +209,7 @@ def run_ours(seq: str, workdir: str, repeat: int = 1) -> dict:
     kept in `cold_wall_s`; trajectories are bit-identical across runs
     (tests/test_determinism.py)."""
     info = SEQS[seq]
-    seq_dir = os.path.join(DATA, seq)
+    seq_dir = os.path.join(DATA, info.get("dir", seq))
     settings = os.path.join(seq_dir, "settings.yaml")
     os.makedirs(workdir, exist_ok=True)
     env = dict(os.environ)
@@ -200,6 +217,10 @@ def run_ours(seq: str, workdir: str, repeat: int = 1) -> dict:
         cmd = [sys.executable, "-u", os.path.join(REPO, "examples", "rgbd_tum.py"),
                "-", settings, seq_dir,
                os.path.join(seq_dir, "associations.txt")]
+    elif info["kind"] == "tum_mono":
+        cmd = [sys.executable, "-u",
+               os.path.join(REPO, "examples", "mono_tum.py"),
+               "-", settings, seq_dir]
     elif info["kind"] == "kitti_stereo":
         cmd = [sys.executable, "-u",
                os.path.join(REPO, "examples", "stereo_kitti.py"),
@@ -228,6 +249,19 @@ def run_ours(seq: str, workdir: str, repeat: int = 1) -> dict:
         res["fps"] = 1e3 / max(float(m.group(1)), 1e-9)
     res["loops"] = len(re.findall(r"[Ll]oop (closed|detected)", out))
     res["log_tail"] = "\n".join(out.strip().splitlines()[-15:])
+    if info["kind"] == "tum_mono":
+        kf_path = os.path.join(workdir, "KeyFrameTrajectory_kf_tum.txt")
+        if os.path.exists(kf_path):
+            res.update(eval_tum(kf_path,
+                                os.path.join(seq_dir, "groundtruth.txt"),
+                                with_scale=True))
+            full = eval_tum(
+                os.path.join(workdir, "KeyFrameTrajectory_tum.txt"),
+                os.path.join(seq_dir, "groundtruth.txt"), with_scale=True)
+            res["full_traj_ate_rmse_m"] = full.get("ate_rmse_m")
+        else:
+            res["error"] = "no trajectory written"
+        return res
     traj_path = os.path.join(workdir, "CameraTrajectory_tum.txt")
     if os.path.exists(traj_path):
         if info["kind"] == "tum_rgbd":
