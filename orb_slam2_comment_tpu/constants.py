@@ -53,13 +53,15 @@ BA_MIN_OBS_PER_FREE_CAM = int(
 # fill (r5: replaces the freeze-guard as the primary constraint-coverage
 # mechanism; approximates the reference's uncapped per-KF point sets,
 # src/Optimizer.cc:488-546).
-BA_CAM_ANCHOR_QUOTA = 96
+BA_CAM_ANCHOR_QUOTA = int(
+    __import__("os").environ.get("BA_CAM_ANCHOR_QUOTA", "96"))
 KF_REDUNDANT_OBS = 3
 # SearchInNeighbors second-degree expansion: each first-degree covisible
 # neighbor contributes its 5 best neighbors (src/LocalMapping.cc:460-471);
 # FUSE_EXT_SLOTS caps the dedup'd extension set (fixed shapes).
 SECOND_DEGREE_NEIGHBORS = 5
-FUSE_EXT_SLOTS = 8
+FUSE_EXT_SLOTS = int(
+    __import__("os").environ.get("FUSE_EXT_SLOTS", "8"))
 # chunk width of the mapper machine's fuse phases (targets per chunk)
 FUSE_CHUNK = 5
 

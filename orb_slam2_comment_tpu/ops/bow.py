@@ -108,10 +108,17 @@ def train_vocabulary(
 
     packed_all = np_pack_bits(bits)
 
-    def _dists(pdata, cents):
-        return np.bitwise_count(
-            pdata[:, None, :] ^ np_pack_bits(cents)[None, :, :]
-        ).sum(-1, dtype=np.int32)
+    def _dists_argmin(pdata, cents):
+        # chunked over rows: the full [N, k, 8] broadcast is ~50 GB at
+        # the 100k-word trainer's 1.7M-descriptor corpus
+        pc = np_pack_bits(cents)[None, :, :]
+        out = np.empty(len(pdata), np.int64)
+        CH = 1 << 17
+        for lo in range(0, len(pdata), CH):
+            d = np.bitwise_count(
+                pdata[lo:lo + CH, None, :] ^ pc).sum(-1, dtype=np.int32)
+            out[lo:lo + CH] = d.argmin(1)
+        return out
 
     def split(node_id, idx, d):
         nonlocal children_rows, node_descs
@@ -123,12 +130,12 @@ def train_vocabulary(
         sel = r.choice(len(idx), size=min(k, len(idx)), replace=False)
         cents = data[sel].copy()
         for _ in range(iters):
-            assign = _dists(pdata, cents).argmin(1)
+            assign = _dists_argmin(pdata, cents)
             for c in range(len(cents)):
                 members = data[assign == c]
                 if len(members):
                     cents[c] = _majority(members)
-        assign = _dists(pdata, cents).argmin(1)
+        assign = _dists_argmin(pdata, cents)
         row = np.full(k, -1, np.int64)
         for c in range(len(cents)):
             members = idx[assign == c]
@@ -164,12 +171,18 @@ def train_vocabulary(
         depth=depth,
         k=k,
     )
-    # compute IDF by transforming the corpus
-    words, _, _ = transform(voc, jnp.asarray(descriptors), jnp.ones(len(descriptors), bool))
+    # compute IDF by transforming the corpus (chunked: one 1.7M-row
+    # descent allocated hundreds of GB of intermediates)
     counts = np.zeros(len(leaves), np.int64)
-    w = np.asarray(words)
-    w = w[w >= 0]
-    np.add.at(counts, w, 1)
+    CH = 1 << 16
+    desc_np = np.asarray(descriptors)
+    for lo in range(0, len(desc_np), CH):
+        ch = desc_np[lo:lo + CH]
+        words, _, _ = transform(
+            voc, jnp.asarray(ch), jnp.ones(len(ch), bool))
+        w = np.asarray(words)
+        w = w[w >= 0]
+        np.add.at(counts, w, 1)
     n = max(len(bits), 1)
     idf = np.log(n / np.maximum(counts, 1)).astype(np.float32)
     idf[counts == 0] = 0.0
@@ -183,21 +196,22 @@ def _transform_impl(
 ):
     n = desc.shape[0]
     sbits = unpack_descriptors_signed(desc)  # [N, 256] bf16
-    # distances to ALL node centroids at once: one matmul, then descend by
-    # gathering rows — cheaper and simpler than per-level gathers for the
-    # few-thousand-node trees we train
-    dots = jnp.dot(
-        sbits, node_desc_signed.T, preferred_element_type=jnp.float32
-    )
-    dist = (256.0 - dots) * 0.5  # [N, n_nodes]
-
+    # Per-level descent with gathered CHILD centroids only: distances to
+    # all nodes at once is O(N * n_nodes) — 444 MB per 1000-descriptor
+    # transform at the 100k-word tree, and 780 GB when the trainer's IDF
+    # pass ran the whole corpus through it. The gathered form touches
+    # k centroids per descriptor per level at every scale.
     node = jnp.zeros(n, jnp.int32)
     group = jnp.zeros(n, jnp.int32)
+    nmax = node_desc_signed.shape[0]
     for d in range(voc_depth):
         ch = children[node]                      # [N, k]
         has = ch >= 0
-        chc = jnp.clip(ch, 0, dist.shape[1] - 1)
-        dch = jnp.where(has, jnp.take_along_axis(dist, chc, axis=1), 1e9)
+        chc = jnp.clip(ch, 0, nmax - 1)
+        cent = node_desc_signed[chc]             # [N, k, 256]
+        dots = jnp.einsum("nc,nkc->nk", sbits, cent,
+                          preferred_element_type=jnp.float32)
+        dch = jnp.where(has, (256.0 - dots) * 0.5, 1e9)
         best = jnp.argmin(dch, axis=1)
         nxt = jnp.take_along_axis(chc, best[:, None], axis=1)[:, 0]
         any_child = jnp.any(has, axis=1)
@@ -220,14 +234,16 @@ def group_ids(children, node_desc_signed, desc, valid, levels: int):
     group 0, which makes the node gate a no-op — callers never branch."""
     n = desc.shape[0]
     sbits = unpack_descriptors_signed(desc)
-    dots = jnp.dot(sbits, node_desc_signed.T,
-                   preferred_element_type=jnp.float32)
     node = jnp.zeros(n, jnp.int32)
+    nmax = node_desc_signed.shape[0]
     for _ in range(levels):
         ch = children[node]
         has = ch >= 0
-        chc = jnp.clip(ch, 0, dots.shape[1] - 1)
-        dch = jnp.where(has, -jnp.take_along_axis(dots, chc, axis=1), 1e9)
+        chc = jnp.clip(ch, 0, nmax - 1)
+        cent = node_desc_signed[chc]
+        dots = jnp.einsum("nc,nkc->nk", sbits, cent,
+                          preferred_element_type=jnp.float32)
+        dch = jnp.where(has, -dots, 1e9)
         best = jnp.argmin(dch, axis=1)
         nxt = jnp.take_along_axis(chc, best[:, None], axis=1)[:, 0]
         node = jnp.where(jnp.any(has, axis=1), nxt, node)

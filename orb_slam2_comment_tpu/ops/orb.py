@@ -731,7 +731,15 @@ def gather_patches_pallas(padded, lyx, interpret: bool = False,
         ),
         grid_spec=grid_spec,
         interpret=interpret,
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            # the default 16MB scoped-vmem budget is 0.9MB short when this
+            # kernel compiles inside the 2000-feature stereo frame program
+            # (r5: the street h2h run died with "scoped allocation 16.90M
+            # ... limit 16.00M"); the standalone kernel fits, the fused
+            # module's layout choices pad the window
+            vmem_limit_bytes=48 * 1024 * 1024,
+        ),
     )(aligned, res, padded)
     return out[:n]
 
