@@ -59,9 +59,14 @@ KF_REDUNDANT_OBS = 3
 # SearchInNeighbors second-degree expansion: each first-degree covisible
 # neighbor contributes its 5 best neighbors (src/LocalMapping.cc:460-471);
 # FUSE_EXT_SLOTS caps the dedup'd extension set (fixed shapes).
+# DEFAULT 0 (first-degree only): the r5 street A/B measured 14.0mm ATE
+# with the expansion off vs 334mm with it on (the expansion's wrong-merge
+# rate on self-similar facades corrupts the map; the reference's exact
+# per-merge bookkeeping appears to matter there). The capability is
+# implemented and env-switchable for future diagnosis.
 SECOND_DEGREE_NEIGHBORS = 5
 FUSE_EXT_SLOTS = int(
-    __import__("os").environ.get("FUSE_EXT_SLOTS", "8"))
+    __import__("os").environ.get("FUSE_EXT_SLOTS", "0"))
 # chunk width of the mapper machine's fuse phases (targets per chunk)
 FUSE_CHUNK = 5
 

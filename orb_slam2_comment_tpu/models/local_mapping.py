@@ -1129,6 +1129,8 @@ def _fuse_targets(m: ms.MapState, kf_id: jax.Array, n_fuse: int, n_ext: int):
     w1v, w1i = jax.lax.top_k(w, n_fuse)
     ok1 = w1v >= C.COVIS_MIN_WEIGHT
     first = jnp.where(ok1, w1i, -1).astype(jnp.int32)
+    if n_ext == 0:
+        return first
     in_first = jnp.zeros(kmax, bool).at[jnp.clip(first, 0, kmax - 1)].set(ok1)
 
     # All n_fuse neighbors' covisibility rows in ONE pass over the

@@ -172,6 +172,10 @@ USE_PALLAS_LM = _os.environ.get("USE_PALLAS_LM", "1") not in ("0", "false", "Fal
 # Pallas local-BA system assembly (ops/lba_pallas.py); XLA fallback
 # remains the CPU/test path and the reference semantics.
 USE_PALLAS_LBA = _os.environ.get("USE_PALLAS_LBA", "1") not in ("0", "false", "False")
+# A/B knob: restore the r4 delayed-acceptance schedule (n_iters trips,
+# initial evaluation counted, trailing candidate dropped) for accuracy
+# bisects.
+LM_LEGACY_SCHEDULE = _os.environ.get("LM_LEGACY_SCHEDULE", "0") not in ("0", "")
 
 
 @functools.partial(
@@ -518,6 +522,8 @@ def _lba_core(
         + inlier survival; stall-based early termination."""
         cam_T, pts, lam, cost, n_in, obs_ok = carry
 
+        extra = 0 if LM_LEGACY_SCHEDULE else 1
+
         def cond_fn(s):
             i, stall = s[0], s[1]
             # n_iters + 1 trips: trip 0 evaluates the INCOMING state (not
@@ -525,12 +531,12 @@ def _lba_core(
             # candidate steps — so the final candidate is not discarded
             # and the effective step count matches the reference's 5+10
             # schedule (ADVICE r4).
-            return (i < n_iters + 1) & (stall < 2)
+            return (i < n_iters + extra) & (stall < 2)
 
         def body(s):
             (i, stall, cur_T, cur_pts, ref_T, ref_pts, ref_cost, ref_nin,
              lam) = s
-            first = i == 0
+            first = (i == 0) & (not LM_LEGACY_SCHEDULE)
             sys_cur = build_system(cur_T, cur_pts, obs_ok, robust)
             ok = (sys_cur.cost <= ref_cost) & (
                 sys_cur.n_in.astype(jnp.float32)

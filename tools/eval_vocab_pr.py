@@ -50,16 +50,25 @@ def main():
     poses = np.concatenate([base, np.stack(jit)])
 
     cfg = orb.ORBConfig(n_features=1000, n_levels=8)
-    descs, valids = [], []
-    t0 = time.time()
-    for i, T in enumerate(poses):
-        img, _ = rr.render_quads(scene, T, K)
-        ff, _ = orb.extract(jnp.asarray(img.astype(np.float32)), cfg)
-        descs.append(np.asarray(ff.desc))
-        valids.append(np.asarray(ff.valid))
-        if i % 50 == 0:
-            print(f"  render+extract {i}/{len(poses)} "
-                  f"({time.time()-t0:.0f}s)", flush=True)
+    cache = f"/tmp/eval_vocab_pr_desc_{n_kfs}.npz"
+    if os.path.exists(cache):
+        z = np.load(cache)
+        descs = list(z["descs"])
+        valids = list(z["valids"])
+        print(f"loaded cached descriptors {cache}", flush=True)
+    else:
+        descs, valids = [], []
+        t0 = time.time()
+        for i, T in enumerate(poses):
+            img, _ = rr.render_quads(scene, T, K)
+            ff, _ = orb.extract(jnp.asarray(img.astype(np.float32)), cfg)
+            descs.append(np.asarray(ff.desc))
+            valids.append(np.asarray(ff.valid))
+            if i % 50 == 0:
+                print(f"  render+extract {i}/{len(poses)} "
+                      f"({time.time()-t0:.0f}s)", flush=True)
+        np.savez_compressed(cache, descs=np.stack(descs),
+                            valids=np.stack(valids))
 
     def centers(Ts):
         return np.stack([-T[:3, :3].T @ T[:3, 3] for T in Ts])
@@ -72,7 +81,8 @@ def main():
             print(f"[skip] {vpath} missing", flush=True)
             continue
         voc = bow.load_vocabulary(vpath)
-        db = KeyFrameDatabase(voc, max_kfs=n_kfs, n_feat=descs[0].shape[0])
+        db = KeyFrameDatabase(voc, max_kfs=half,
+                              n_feat=descs[0].shape[0])
         for k in range(half):
             db.add(k, jnp.asarray(descs[k]), jnp.asarray(valids[k]))
         hits = at2 = 0
@@ -88,7 +98,7 @@ def main():
                 from orb_slam2_comment_tpu.models.keyframe_database import (
                     _scores_kernel)
                 sc, cm = _scores_kernel(db.bow, db.valid, vec)
-            sc = np.asarray(sc)
+            sc = np.asarray(sc)[:half]
             top = int(np.argmax(sc))
             order = np.argsort(-sc)
             d = np.linalg.norm(c_all[:half] - c_all[q], axis=1)
