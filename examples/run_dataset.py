@@ -87,6 +87,11 @@ def run(sensor, dataset, seq_dir, settings=None, vocabulary=None,
     t = np.asarray(times[5:]) if len(times) > 10 else np.asarray(times)
     print(f"median tracking time: {np.median(t)*1e3:.1f} ms")
     print(f"mean tracking time:   {np.mean(t)*1e3:.1f} ms")
+    import os
+    if os.environ.get("RUN_DUMP"):
+        worst = np.argsort(t)[-12:][::-1]
+        for i in worst:
+            print(f"# slow frame {i+5:4d}: {t[i]*1e3:8.1f} ms")
     return system
 
 

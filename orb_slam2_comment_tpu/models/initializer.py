@@ -59,8 +59,13 @@ class MonocularInitializer:
         ok_np = np.asarray(res.ok)
         idx_np = np.asarray(res.idx)
         n_matches = int(ok_np.sum())
-        if n_matches < 100:
-            # (Tracking.cc:600-607: fewer than 100 -> drop the reference)
+        # the reference demands 100 matches AT ITS DOUBLED init budget of
+        # 2*nFeatures=2000 (Tracking.cc:117,612); with a single fixed
+        # budget the equivalent coverage gate scales with it (100 matches
+        # out of 2000 candidates = 5%)
+        min_matches = max(40, cfg.n_features // 20)
+        if n_matches < min_matches:
+            # (Tracking.cc:600-607: below the floor -> drop the reference)
             self.ref = None
             return False
         # advance the tracked positions of matched features

@@ -19,6 +19,16 @@ sequence's head) — the gate never silently skips.
 import os
 
 import numpy as np
+import pytest
+
+# the committed head-to-head evidence (BENCH_ACCURACY.md +
+# data/h2h/results.json) supersedes this 200s-class smoke as the default
+# accuracy witness; opt back in with RUN_SLOW_TESTS=1 (VERDICT r4 #9)
+pytestmark = pytest.mark.skipif(
+    os.environ.get("RUN_SLOW_TESTS", "") in ("", "0"),
+    reason="slow accuracy smoke is opt-in (RUN_SLOW_TESTS=1); the h2h "
+           "table is the committed accuracy evidence",
+)
 
 REPO = os.path.join(os.path.dirname(__file__), "..")
 SEQ_FULL = os.path.join(REPO, "data", "synth", "desk")

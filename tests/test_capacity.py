@@ -210,6 +210,11 @@ def test_sparse_pose_graph_kitti00_scale():
 # end-to-end auto-grow
 # ---------------------------------------------------------------------------
 
+@pytest.mark.skipif(
+    __import__("os").environ.get("RUN_SLOW_TESTS", "") in ("", "0"),
+    reason="135s e2e growth run is opt-in (RUN_SLOW_TESTS=1); "
+           "grow_map/KFDB growth stay covered by the unit tests above",
+)
 def test_tracker_auto_grow_e2e():
     """Drive the full system with tiny starting tiers and force growth
     mid-sequence; tracking stays OK and the grown map keeps its content."""
