@@ -347,3 +347,74 @@ class TestReparenting:
                 assert k not in seen
                 seen.add(k)
                 k = int(par[k])
+
+
+class TestFuseTargets:
+    """_fuse_targets semantics vs a straightforward reference
+    implementation (SearchInNeighbors target set, LocalMapping.cc:454-483)."""
+
+    def test_matches_naive_reference(self):
+        import numpy as np
+        import jax.numpy as jnp
+        from orb_slam2_comment_tpu import constants as C
+        from orb_slam2_comment_tpu.models import local_mapping as lm
+        from orb_slam2_comment_tpu.models import map_state as ms
+        from orb_slam2_comment_tpu.utils.config import SlamConfig
+
+        r = np.random.default_rng(0)
+        kmax, N, pmax = 32, 64, 2048
+        cfg = SlamConfig(sensor="rgbd", max_keyframes=kmax, max_points=pmax,
+                         n_features=600, n_levels=4)
+        m = ms.empty_map(kmax, pmax, n_feat=N)
+        # chain-structured observations so covisibility decays with
+        # keyframe distance (street-like)
+        kf_obs = np.full((kmax, N), -1, np.int32)
+        for k in range(20):
+            kf_obs[k] = k * 24 + r.permutation(96)[:N] % 96 + k * 0
+            kf_obs[k] = np.clip(k * 24 + r.integers(0, 96, N), 0, pmax - 1)
+        m = m._replace(
+            kf_obs=jnp.asarray(kf_obs),
+            kf_valid=jnp.asarray(np.arange(kmax) < 20),
+            kf_feat_valid=jnp.ones((kmax, N), bool),
+            pt_valid=jnp.ones(pmax, bool),
+        )
+        kf_id = 10
+        n_fuse, n_ext = 8, 8
+        fbi = np.asarray(lm._fuse_targets(
+            m, jnp.asarray(kf_id, jnp.int32), n_fuse, n_ext))
+
+        # naive reference
+        def covis_row(k):
+            in_k = np.zeros(pmax, bool)
+            row = kf_obs[k]
+            in_k[row[row >= 0]] = True
+            w = np.zeros(kmax, int)
+            for j in range(kmax):
+                if j == k or not (j < 20):
+                    continue
+                rj = kf_obs[j]
+                w[j] = int(np.sum(in_k[rj[rj >= 0]]))
+            return w
+
+        w = covis_row(kf_id)
+        order = np.argsort(-w, kind="stable")[:n_fuse]
+        first = [int(i) for i in order if w[i] >= C.COVIS_MIN_WEIGHT]
+        # first-degree slots must match as a set
+        got_first = set(int(x) for x in fbi[:n_fuse] if x >= 0)
+        assert got_first == set(first), (got_first, first)
+        # second-degree: each first's top-5, minus self/first set
+        second = set()
+        for f in first:
+            wf = covis_row(f)
+            o2 = np.argsort(-wf, kind="stable")[:C.SECOND_DEGREE_NEIGHBORS]
+            for j in o2:
+                if wf[j] >= C.COVIS_MIN_WEIGHT:
+                    second.add(int(j))
+        second -= set(first) | {kf_id}
+        got_ext = set(int(x) for x in fbi[n_fuse:] if x >= 0)
+        # the kernel caps at n_ext, ranked by covisibility with kf_id;
+        # when everything fits the sets must be equal
+        if len(second) <= n_ext:
+            assert got_ext == second, (got_ext, second)
+        else:
+            assert got_ext <= second and len(got_ext) == n_ext
