@@ -116,6 +116,7 @@ def run(sensor, dataset, seq_dir, settings=None, vocabulary=None,
         if runs > 1:
             print(f"--- run {run_idx + 1}/{runs} "
                   f"{'(timed)' if run_idx == runs - 1 else '(warm-up)'} ---")
+        t_run0 = time.perf_counter()
         for i, f in enumerate(loader):
             t0 = time.perf_counter()
             if sensor == "rgbd":
@@ -136,6 +137,12 @@ def run(sensor, dataset, seq_dir, settings=None, vocabulary=None,
                       f"inl={out.n_inliers} {dt*1e3:.1f}ms")
 
     system.shutdown()
+    # end-to-end wall of the LAST run including the async pipeline's
+    # final drain (stricter than the per-call times: the reference's
+    # timer also never sees its LocalMapping/LoopClosing threads' tail)
+    run_wall = time.perf_counter() - t_run0
+    print(f"run wall incl. drain: {run_wall:.2f} s "
+          f"({len(times)/max(run_wall, 1e-9):.1f} fps)")
     system.save_trajectory_tum(f"{out_prefix}_tum.txt")
     system.save_trajectory_kitti(f"{out_prefix}_kitti.txt")
     system.save_keyframe_trajectory_tum(f"{out_prefix}_kf_tum.txt")

@@ -253,6 +253,11 @@ def run_ours(seq: str, workdir: str, repeat: int = 1) -> dict:
     # with in-process replays, count loops from the TIMED (last) run only
     timed_out = out.rsplit("--- run ", 1)[-1]
     res["loops"] = len(re.findall(r"[Ll]oop (closed|detected)", timed_out))
+    m = re.search(r"run wall incl\. drain: ([0-9.e-]+) s \(([0-9.]+) fps\)",
+                  timed_out)
+    if m:
+        res["warm_wall_s"] = float(m.group(1))
+        res["wall_fps"] = float(m.group(2))
     res["log_tail"] = "\n".join(out.strip().splitlines()[-15:])
     if info["kind"] == "tum_mono":
         kf_path = os.path.join(workdir, "KeyFrameTrajectory_kf_tum.txt")
